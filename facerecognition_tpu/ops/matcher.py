@@ -1,0 +1,108 @@
+"""Gallery matching: cosine similarity as one matmul + top-k.
+
+TPU-native replacement for BOTH of the reference's match paths:
+- the python for-loop cosine scan over the gallery dict
+  (reference inference/recognition_engine.py:267-289), and
+- FAISS ``IndexFlatIP`` (reference inference/extract_embeddings.py:595-645,
+  recognition_engine.py:291-326) — exact inner-product search over a
+  normalized gallery is just a matmul + ``lax.top_k`` on the MXU.
+
+Gallery layout: a device-resident (N, D) float32/bfloat16 matrix of
+L2-normalized embeddings plus a host-side list of names. For galleries too
+big for one chip, see `facerecognition_tpu.parallel.sharding.sharded_topk`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2-normalize along ``axis`` (the F.normalize contract the reference
+    applies to every embedding, extract_embeddings.py:374-384)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def cosine_similarity(a, b) -> float:
+    """Scalar cosine similarity between two vectors (host convenience API).
+
+    Mirrors the reference's public ``cosine_similarity`` helper
+    (inference/recognition_engine.py:41-63) including the zero-vector guard.
+    """
+    a = np.asarray(a, dtype=np.float32).reshape(-1)
+    b = np.asarray(b, dtype=np.float32).reshape(-1)
+    na = np.linalg.norm(a)
+    nb = np.linalg.norm(b)
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return float(np.dot(a, b) / (na * nb))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def cosine_topk(
+    queries: jax.Array, gallery: jax.Array, k: int = 5
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k cosine matches of each query against the gallery.
+
+    Args:
+      queries: (B, D) embeddings — normalized internally.
+      gallery: (N, D) embeddings — normalized internally.
+      k: number of neighbours (clipped to N by the caller).
+
+    Returns:
+      (scores, indices): both (B, k); scores are cosine similarities sorted
+      descending. One matmul on the MXU + ``lax.top_k``.
+    """
+    q = l2_normalize(queries.astype(jnp.float32))
+    g = l2_normalize(gallery.astype(jnp.float32))
+    scores = jnp.dot(
+        q, g.T, preferred_element_type=jnp.float32
+    )  # (B, N) — MXU
+    return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def compute_prototypes(
+    embeddings: jax.Array, labels: jax.Array, num_classes: int
+) -> jax.Array:
+    """Per-class mean embedding, L2-normalized ("prototypes").
+
+    Replaces the reference's per-class numpy loop
+    (inference/extract_embeddings.py:555-592) with one segment-sum.
+
+    Args:
+      embeddings: (N, D).
+      labels: (N,) int class ids in [0, num_classes).
+      num_classes: static class count.
+
+    Returns:
+      (num_classes, D) normalized prototypes (zero rows for empty classes).
+    """
+    emb = embeddings.astype(jnp.float32)
+    sums = jax.ops.segment_sum(emb, labels, num_segments=num_classes)
+    counts = jax.ops.segment_sum(
+        jnp.ones((emb.shape[0],), jnp.float32), labels, num_segments=num_classes
+    )
+    means = sums / jnp.maximum(counts[:, None], 1.0)
+    norms = jnp.sqrt(jnp.sum(means * means, axis=-1, keepdims=True))
+    return jnp.where(norms > 1e-12, means / jnp.maximum(norms, 1e-12), means)
+
+
+@jax.jit
+def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Squared euclidean distance matrix via the matmul identity.
+
+    ||a-b||² = ||a||² + ||b||² - 2ab — one MXU matmul, used by the FaceNet
+    triplet miners (replaces torch.cdist in facenet_dataloader.py:169-284).
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    d2 = a2 + b2.T - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(d2, 0.0)
