@@ -1,0 +1,158 @@
+"""LBPH tests: numpy-loop golden parity + recognition behavior.
+
+Mirrors the reference's committed LBPH unit test strategy
+(models/lbphmodel/test_lbph_logic.py: synthetic striped classes) plus a
+strict golden test of the vectorized LBP against an independent loop
+transcription of OpenCV's elbp/spatial_histogram.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from facerecognition_tpu.models.lbph import (
+    LBPHModel,
+    chi2_alt_distances,
+    lbp_code_image,
+    lbph_features,
+    spatial_histogram,
+)
+
+
+def _ref_elbp(src: np.ndarray, radius=1, neighbors=8) -> np.ndarray:
+    """Loop transcription of OpenCV elbp_ (bilinear circular LBP)."""
+    src = src.astype(np.float32)
+    h, w = src.shape
+    dst = np.zeros((h - 2 * radius, w - 2 * radius), np.int32)
+    for n in range(neighbors):
+        x = radius * math.cos(2.0 * math.pi * n / neighbors)
+        y = -radius * math.sin(2.0 * math.pi * n / neighbors)
+        fx, fy = math.floor(x), math.floor(y)
+        cx, cy = math.ceil(x), math.ceil(y)
+        tx, ty = x - fx, y - fy
+        w1 = (1 - tx) * (1 - ty)
+        w2 = tx * (1 - ty)
+        w3 = (1 - tx) * ty
+        w4 = tx * ty
+        for i in range(radius, h - radius):
+            for j in range(radius, w - radius):
+                t = (
+                    w1 * src[i + fy, j + fx]
+                    + w2 * src[i + fy, j + cx]
+                    + w3 * src[i + cy, j + fx]
+                    + w4 * src[i + cy, j + cx]
+                )
+                c = src[i, j]
+                if t > c or abs(t - c) < np.finfo(np.float32).eps:
+                    dst[i - radius, j - radius] |= 1 << n
+    return dst
+
+
+def _synthetic_faces(rng, n_classes=3, per_class=5, size=60):
+    """Random noise + per-class stripe pattern (reference test_lbph_logic.py:18-33)."""
+    images, labels = [], []
+    for c in range(n_classes):
+        for _ in range(per_class):
+            img = rng.integers(0, 100, (size, size)).astype(np.uint8)
+            img[:: c + 2, :] = 220  # class-specific stripe period
+            images.append(img)
+            labels.append(c)
+    return np.stack(images), np.array(labels)
+
+
+class TestLBPCore:
+    def test_code_image_matches_loop_reference(self, rng):
+        img = rng.integers(0, 256, (20, 24)).astype(np.uint8)
+        ours = np.asarray(lbp_code_image(jnp.asarray(img)))
+        ref = _ref_elbp(img)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_code_range(self, rng):
+        img = rng.integers(0, 256, (30, 30)).astype(np.uint8)
+        code = np.asarray(lbp_code_image(jnp.asarray(img)))
+        assert code.shape == (28, 28)
+        assert code.min() >= 0 and code.max() <= 255
+
+    def test_spatial_histogram_layout(self, rng):
+        code = rng.integers(0, 256, (98, 98)).astype(np.int32)
+        hist = np.asarray(spatial_histogram(jnp.asarray(code), 8, 8, 256))
+        assert hist.shape == (8 * 8 * 256,)
+        # Cell (0,0) histogram must equal a direct bincount of the top-left
+        # 12x12 (98//8=12) block, normalized by 144.
+        cell = code[:12, :12].reshape(-1)
+        ref = np.bincount(cell, minlength=256) / 144.0
+        np.testing.assert_allclose(hist[:256], ref, atol=1e-6)
+
+    def test_chi2_alt(self, rng):
+        q = np.abs(rng.normal(size=64)).astype(np.float32)
+        g = np.abs(rng.normal(size=(5, 64))).astype(np.float32)
+        d = np.asarray(chi2_alt_distances(jnp.asarray(q), jnp.asarray(g)))
+        ref = 2 * ((q - g) ** 2 / np.where(q + g > 0, q + g, 1)).sum(1)
+        np.testing.assert_allclose(d, ref, rtol=1e-4)
+        # identical histogram → 0
+        same = np.asarray(chi2_alt_distances(jnp.asarray(q), jnp.asarray(q[None])))
+        np.testing.assert_allclose(same, 0.0, atol=1e-6)
+
+
+class TestLBPHModel:
+    def test_train_predict_roundtrip(self, rng):
+        images, labels = _synthetic_faces(rng)
+        model = LBPHModel()
+        model.train(images, labels)
+        # Predict on noisy variants of training images — same stripes.
+        correct = 0
+        for c in range(3):
+            img = rng.integers(0, 100, (60, 60)).astype(np.uint8)
+            img[:: c + 2, :] = 220
+            pred, conf = model.predict(img)
+            assert conf >= 0
+            correct += pred == c
+        assert correct >= 2  # stripes dominate the histogram
+
+    def test_threshold_unknown(self, rng):
+        images, labels = _synthetic_faces(rng)
+        model = LBPHModel(threshold=1e-9)
+        model.train(images, labels)
+        pred, conf = model.predict(images[0] // 2 + 10)
+        assert pred == -1  # everything above the impossible threshold
+
+    def test_exact_match_distance_zero(self, rng):
+        images, labels = _synthetic_faces(rng)
+        model = LBPHModel()
+        model.train(images, labels)
+        pred, conf = model.predict(images[0])
+        assert pred == labels[0]
+        assert conf < 1e-5
+
+    def test_batch_predict_matches_single(self, rng):
+        images, labels = _synthetic_faces(rng)
+        model = LBPHModel()
+        model.train(images, labels)
+        test = images[:4]
+        bl, bc = model.predict_batch(test)
+        for i in range(4):
+            sl, sc = model.predict(test[i])
+            assert bl[i] == sl
+            assert abs(bc[i] - sc) < 1e-4
+
+    def test_save_load(self, rng, tmp_path):
+        images, labels = _synthetic_faces(rng)
+        model = LBPHModel(threshold=80.0)
+        model.train(images, labels)
+        path = tmp_path / "lbph.npz"
+        model.save(path)
+        loaded = LBPHModel.load(path)
+        assert loaded.threshold == 80.0
+        p1 = model.predict(images[3])
+        p2 = loaded.predict(images[3])
+        assert p1[0] == p2[0] and abs(p1[1] - p2[1]) < 1e-6
+
+    def test_update_incremental(self, rng):
+        images, labels = _synthetic_faces(rng)
+        model = LBPHModel()
+        model.train(images[:10], labels[:10])
+        model.update(images[10:], labels[10:])
+        assert len(model.labels) == len(labels)
+        pred, _ = model.predict(images[12])
+        assert pred == labels[12]
