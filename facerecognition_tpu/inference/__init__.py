@@ -1,0 +1,33 @@
+"""Inference layer: recognition engine, embedding extraction, evaluation,
+explainability, database builder — API parity with the reference's
+inference/__init__.py:1-34 surface, dispatching to batched on-device compute."""
+
+from facerecognition_tpu.inference.engine import (
+    Gallery,
+    RecognitionEngine,
+    create_engine_from_embeddings_dir,
+)
+from facerecognition_tpu.ops.matcher import cosine_similarity
+from facerecognition_tpu.inference.extract_embeddings import (
+    EmbedderConfig,
+    build_db,
+    compute_prototypes_from_arrays,
+    extract_embedding_single,
+    extract_embeddings_batch,
+    load_arcface_model,
+    load_facenet_model,
+)
+
+__all__ = [
+    "Gallery",
+    "RecognitionEngine",
+    "create_engine_from_embeddings_dir",
+    "cosine_similarity",
+    "EmbedderConfig",
+    "build_db",
+    "compute_prototypes_from_arrays",
+    "extract_embedding_single",
+    "extract_embeddings_batch",
+    "load_arcface_model",
+    "load_facenet_model",
+]

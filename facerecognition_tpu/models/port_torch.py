@@ -1,0 +1,185 @@
+"""PyTorch checkpoint → Flax params porting.
+
+Mechanical key remapping + tensor transposition so reference-trained
+checkpoints (ArcFace ResNet50, FaceNet InceptionResnetV1) load into the Flax
+models for numeric-parity validation. Plays the role the reference's flexible
+checkpoint loader plays (models/facenet/checkpoint_utils.py:46-99 — automatic
+key-prefix remap, filtered strict=False load), generalized to the torch→JAX
+boundary.
+
+Tensor layout rules:
+- Conv2d weight  (O, I, kH, kW) → Flax kernel (kH, kW, I, O)
+- Linear weight  (O, I)         → Flax kernel (I, O)
+- BatchNorm weight/bias → params scale/bias; running_mean/var → batch_stats
+
+No torch import is required at module load — state dicts are accepted as
+any mapping of name → array-like (e.g. ``torch.load(...)`` results are fine;
+tensors are converted via ``numpy()``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _to_np(t: Any) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _convert_entry(flat_key: str, value: np.ndarray):
+    """Map one torch state-dict entry to (collection, path, tensor).
+
+    ``flat_key`` uses '/'-separated *flax* module names with a trailing torch
+    param name (weight/bias/running_mean/running_var).
+    Returns None for entries to drop (num_batches_tracked).
+    """
+    *mods, leaf = flat_key.split("/")
+    if leaf == "num_batches_tracked":
+        return None
+    is_bn = bool(re.search(r"(^|/)(bn\d?|.*_bn|downsample_bn|batchnorm)$", "/".join(mods))) or leaf in (
+        "running_mean",
+        "running_var",
+    )
+    if leaf == "running_mean":
+        return ("batch_stats", mods + ["mean"], value)
+    if leaf == "running_var":
+        return ("batch_stats", mods + ["var"], value)
+    if leaf == "weight":
+        if value.ndim == 4:  # conv OIHW → HWIO
+            return ("params", mods + ["kernel"], value.transpose(2, 3, 1, 0))
+        if value.ndim == 2:  # linear OI → IO
+            return ("params", mods + ["kernel"], value.transpose(1, 0))
+        if value.ndim == 1:  # batchnorm scale
+            return ("params", mods + ["scale"], value)
+    if leaf == "bias":
+        return ("params", mods + ["bias"], value)
+    # ArcMargin weight kept as-is (C, D) — handled by caller naming.
+    return ("params", mods + [leaf], value)
+
+
+def port_state_dict(
+    state_dict: Mapping[str, Any], key_map: "callable[[str], str | None]"
+) -> dict:
+    """Port a torch state dict into a flax variables dict.
+
+    Args:
+      state_dict: torch-style flat mapping.
+      key_map: maps a torch key (without param leaf) to a '/'-joined flax
+        module path, or None to drop the entry.
+
+    Returns:
+      {"params": {...}, "batch_stats": {...}} nested dict of numpy arrays.
+    """
+    out: dict[str, dict] = {"params": {}, "batch_stats": {}}
+    for tk, tv in state_dict.items():
+        head, _, leaf = tk.rpartition(".")
+        mapped = key_map(head)
+        if mapped is None:
+            continue
+        entry = _convert_entry(f"{mapped}/{leaf}", _to_np(tv))
+        if entry is None:
+            continue
+        coll, path, val = entry
+        _set(out[coll], path, val)
+    if not out["batch_stats"]:
+        del out["batch_stats"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Key maps for the three reference checkpoint families.
+# ---------------------------------------------------------------------------
+
+
+def resnet50_key_map(torch_key: str) -> str | None:
+    """torchvision resnet50 keys → ResNet50Backbone module paths.
+
+    ``layer{s}.{b}.conv1`` → ``layer{s}_{b}/conv1``;
+    ``layer{s}.{b}.downsample.0/1`` → ``layer{s}_{b}/downsample_conv|bn``;
+    ``fc`` (classifier) dropped.
+    """
+    if torch_key.startswith("fc"):
+        return None
+    m = re.fullmatch(r"layer(\d)\.(\d+)\.(.+)", torch_key)
+    if m:
+        stage, block, rest = m.groups()
+        rest = rest.replace("downsample.0", "downsample_conv").replace(
+            "downsample.1", "downsample_bn"
+        )
+        return f"layer{stage}_{block}/" + rest.replace(".", "/")
+    return torch_key.replace(".", "/")
+
+
+def arcface_key_map(torch_key: str) -> str | None:
+    """Reference ArcFaceModel checkpoint keys → flax ArcFaceModel paths.
+
+    Reference layout (models/arcface/arcface_model.py:135-202):
+    ``backbone.<resnet>``, ``bn1``, ``fc``, ``bn2``, ``arcface.weight``.
+    """
+    if torch_key.startswith("backbone."):
+        inner = resnet50_key_map(torch_key[len("backbone.") :])
+        # avgpool has no params; resnet fc dropped by resnet50_key_map
+        return None if inner is None else f"backbone/{inner}"
+    if torch_key in ("bn1", "bn2", "fc", "arcface"):
+        return torch_key
+    return torch_key.replace(".", "/")
+
+
+def inception_resnet_v1_key_map(torch_key: str) -> str | None:
+    """facenet-pytorch InceptionResnetV1 keys → flax InceptionResnetV1 paths.
+
+    ``repeat_1.0.branch1.0.conv`` → ``repeat_1_0/branch1_0/conv``;
+    ``mixed_7a.branch0.1`` → ``mixed_7a/branch0_1``; ``logits`` dropped
+    (classify head, unused — reference loads classify=False,
+    models/facenet/facenet_model.py:12-16).
+    """
+    if torch_key.startswith("logits"):
+        return None
+    k = re.sub(r"^repeat_(\d)\.(\d+)\.", r"repeat_\1_\2.", torch_key)
+    # Sequential branch indices: branchN.M → branchN_M
+    k = re.sub(r"branch(\d)\.(\d+)", r"branch\1_\2", k)
+    return k.replace(".", "/")
+
+
+def facenet_wrapper_key_map(torch_key: str) -> str | None:
+    """Reference FaceNetModel checkpoints (models/facenet/facenet_model.py):
+    ``model.<irv1>`` or remapped ``backbone.<irv1>`` prefixes + optional
+    ``projection`` — the prefix tolerance mirrors
+    checkpoint_utils.load_facenet_checkpoint_flexible (:46-74)."""
+    for prefix in ("model.", "backbone.", "module."):
+        if torch_key.startswith(prefix):
+            inner = inception_resnet_v1_key_map(torch_key[len(prefix) :])
+            return None if inner is None else f"backbone/{inner}"
+    if torch_key.startswith("projection"):
+        return torch_key.replace(".", "/")
+    inner = inception_resnet_v1_key_map(torch_key)
+    return None if inner is None else f"backbone/{inner}"
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a .pth/.pt checkpoint into a flat numpy state dict (host-side).
+
+    Handles the reference's nesting conventions: raw state dicts and
+    {'model_state_dict': ...} / {'state_dict': ...} wrappers
+    (models/arcface/train_arcface.py:755-773 stores model_state_dict).
+    """
+    import torch  # local import: only needed on the porting path
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model_state_dict", "state_dict", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+            break
+    return {k: _to_np(v) for k, v in obj.items()}

@@ -1,0 +1,145 @@
+"""MXU-native affine warp: two-pass separable resampling as batched matmuls.
+
+The direct bilinear warp (`ops.image.affine_warp`) is a per-pixel gather —
+TPUs have no vector-gather unit, so XLA lowers it to ~1.9k img/s for
+256x(160→112) warps (measured). This module reformulates the warp as the
+classic two-pass decomposition (Catmull & Smith 1980): a vertical 1D
+resample followed by a horizontal 1D resample, each expressed as a dense
+interpolation-matrix product that runs on the MXU at >100x the gather's
+throughput.
+
+Derivation: output pixel (i, j) samples the source at
+``x_s = m00 j + m01 i + m02``, ``y_s = m10 j + m11 i + m12`` (inverse map).
+Pass 1 resamples each source column x vertically at
+``Y(i, x) = A i + B x + C`` with ``B = m10/m00``, ``A = m11 - B m01``,
+``C = m12 - B m02``; pass 2 resamples horizontally at ``x_s(i, j)``.
+Then ``Y(i, x_s) = y_s`` exactly, so the two passes land on the true source
+point. The only approximation vs direct bilinear is a sub-pixel shear of the
+y-interpolation window (|error| ≤ |tan rotation| of one tap position);
+for face alignment (|rot| < 30°) the embedding-level effect is measured at
+cosine > 0.999 vs the exact warp (see tests/test_warp_mxu.py).
+
+Requires |m00| not tiny (rotation < 90° — always true for face alignment).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from facerecognition_tpu.ops.umeyama import ARCFACE_TEMPLATE, invert_affine, umeyama
+
+
+def _interp_weights(positions: jax.Array, n_src: int) -> jax.Array:
+    """Linear-interpolation weight matrix rows: tri(pos - y), zero outside.
+
+    positions: (..., P) sampling positions. Returns (..., P, n_src) weights
+    with ≤2 nonzeros per row; rows sampling outside [0, n_src-1] get zero
+    weight (constant-black border, matching cv2.BORDER_CONSTANT).
+    """
+    y = jax.lax.broadcasted_iota(
+        jnp.float32, positions.shape + (n_src,), positions.ndim
+    )
+    d = jnp.abs(positions[..., None] - y)
+    w = jnp.maximum(0.0, 1.0 - d)
+    # Zero the border contribution for samples fully outside the image.
+    inside = (positions >= -1.0 + 1e-6) & (positions <= n_src - 1e-6)
+    return w * inside[..., None].astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def affine_warp_mxu_batch(
+    images: jax.Array,
+    ms: jax.Array,
+    out_h: int,
+    out_w: int,
+    chunk: int = 16,
+) -> jax.Array:
+    """Batched affine warp via two matmul passes.
+
+    Args:
+      images: (B, H, W, C) float32.
+      ms: (B, 2, 3) forward affine matrices (same convention as
+        ``cv2.warpAffine`` / ``ops.image.affine_warp``).
+      out_h, out_w: output size.
+      chunk: images per lax.map step (bounds the (chunk, W, out_h, H)
+        weight-tensor working set; 16 → ~90 MB for 160² sources).
+
+    Returns:
+      (B, out_h, out_w, C) float32.
+    """
+    b, h, w, c = images.shape
+    images = images.astype(jnp.float32)
+
+    def warp_chunk(args):
+        imgs, m = args  # (k, H, W, C), (k, 2, 3)
+        minv = jax.vmap(invert_affine)(m.astype(jnp.float32))  # (k, 2, 3)
+        m00, m01, m02 = minv[:, 0, 0], minv[:, 0, 1], minv[:, 0, 2]
+        m10, m11, m12 = minv[:, 1, 0], minv[:, 1, 1], minv[:, 1, 2]
+        # Guard m00 ~ 0 (≥90° rotation unsupported; keep finite).
+        m00_safe = jnp.where(jnp.abs(m00) < 1e-6, 1e-6, m00)
+        bb = m10 / m00_safe
+        aa = m11 - bb * m01
+        cc = m12 - bb * m02
+
+        ii = jax.lax.broadcasted_iota(jnp.float32, (out_h, 1), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
+        jj = jax.lax.broadcasted_iota(jnp.float32, (1, out_w), 1)
+
+        # Pass 1: vertical resample. Y (k, out_h, W) sampling positions.
+        ypos = aa[:, None, None] * ii[None] + bb[:, None, None] * xx[None] + cc[:, None, None]
+        wy = _interp_weights(
+            ypos.transpose(0, 2, 1), h
+        )  # (k, W, out_h, H)
+        # mid[k, x, i, c] = Σ_y wy[k, x, i, y] * img[k, y, x, c]
+        mid = jnp.einsum(
+            "kxiy,kyxc->kxic",
+            wy,
+            imgs,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (k, W, out_h, C)
+
+        # Pass 2: horizontal resample at x_s(i, j).
+        xpos = (
+            m00[:, None, None] * jj[None]
+            + m01[:, None, None] * ii[None]
+            + m02[:, None, None]
+        )  # (k, out_h, out_w)
+        wx = _interp_weights(xpos, w)  # (k, out_h, out_w, W)
+        out = jnp.einsum(
+            "kijx,kxic->kijc",
+            wx,
+            mid,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (k, out_h, out_w, C)
+        return out
+
+    if b <= chunk:
+        return warp_chunk((images, ms))
+    # Pad to a multiple of chunk and lax.map over chunks.
+    pad = (-b) % chunk
+    if pad:
+        images = jnp.concatenate(
+            [images, jnp.zeros((pad, h, w, c), jnp.float32)]
+        )
+        ms = jnp.concatenate(
+            [ms, jnp.tile(jnp.eye(2, 3, dtype=jnp.float32)[None], (pad, 1, 1))]
+        )
+    imgs_c = images.reshape(-1, chunk, h, w, c)
+    ms_c = ms.reshape(-1, chunk, 2, 3)
+    out = jax.lax.map(warp_chunk, (imgs_c, ms_c))
+    return out.reshape(-1, out_h, out_w, c)[:b]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def align_crop_mxu_batch(
+    images: jax.Array, landmarks: jax.Array, out_size: int = 112
+) -> jax.Array:
+    """Batched 5-point alignment on the MXU path (landmarks (B, 5, 2))."""
+    template = jnp.asarray(ARCFACE_TEMPLATE) * (out_size / 112.0)
+    ms = jax.vmap(lambda lm: umeyama(lm, template))(
+        landmarks.astype(jnp.float32)
+    )
+    return affine_warp_mxu_batch(images, ms, out_size, out_size)

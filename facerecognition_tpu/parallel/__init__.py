@@ -1,0 +1,24 @@
+"""Multi-chip scaling layer: device mesh, sharded gallery search, and
+data-parallel training shardings.
+
+The reference is single-process single-GPU (SURVEY.md §2.9 audit: no
+torch.distributed anywhere); this layer is the TPU-native scaling design —
+``jax.sharding.Mesh`` over ICI, XLA collectives, no NCCL/MPI.
+"""
+
+from facerecognition_tpu.parallel.mesh import create_mesh, local_mesh
+from facerecognition_tpu.parallel.sharding import (
+    ShardedGallery,
+    replicate,
+    shard_batch,
+    sharded_topk,
+)
+
+__all__ = [
+    "create_mesh",
+    "local_mesh",
+    "ShardedGallery",
+    "replicate",
+    "shard_batch",
+    "sharded_topk",
+]

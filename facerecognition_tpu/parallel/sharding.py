@@ -1,0 +1,142 @@
+"""Sharded gallery search + sharding helpers.
+
+Design (SURVEY.md §2.9 "TPU-native plan"): the (N, D) gallery matrix is
+sharded row-wise across the ``gallery`` mesh axis; each device computes its
+local ``scores = q @ shardᵀ`` + local top-k, then the per-shard candidates
+(k per device) are all-gathered and reduced to a global top-k. Collectives
+ride ICI via ``shard_map``; no host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from facerecognition_tpu.ops.matcher import l2_normalize
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(array: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
+    """Shard a batch array along its leading dim over ``axis``."""
+    ndim = np.ndim(array)
+    spec = P(axis, *([None] * (ndim - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def _local_then_global_topk(q, g_shard, k, axis_name):
+    """shard_map body: local matmul+topk, gather candidates, global topk."""
+    n_local = g_shard.shape[0]
+    my_idx = jax.lax.axis_index(axis_name)
+    scores = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
+    k_local = min(k, n_local)
+    local_s, local_i = jax.lax.top_k(scores, k_local)  # (B, k_local)
+    local_i = local_i + my_idx * n_local  # globalize row ids
+    # Gather candidates from every shard: (B, n_shards * k_local)
+    all_s = jax.lax.all_gather(local_s, axis_name, axis=1, tiled=True)
+    all_i = jax.lax.all_gather(local_i, axis_name, axis=1, tiled=True)
+    final_s, pos = jax.lax.top_k(all_s, k)
+    final_i = jnp.take_along_axis(all_i, pos, axis=1)
+    return final_s, final_i
+
+
+def sharded_topk(
+    queries: jax.Array,
+    gallery_sharded: jax.Array,
+    mesh: Mesh,
+    k: int = 5,
+    axis: str = "gallery",
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k cosine search over a row-sharded gallery.
+
+    Args:
+      queries: (B, D) — will be L2-normalized; replicated across shards.
+      gallery_sharded: (N, D) gallery, rows sharded over ``axis`` (must be
+        pre-normalized; N divisible by the axis size).
+      mesh: mesh containing ``axis``.
+      k: global top-k (ties broken by shard order, same as lax.top_k).
+
+    Returns:
+      (scores, indices) both (B, k), indices into the global gallery row
+      order. Exact — every candidate that could be in the global top-k is
+      (each shard contributes its own top-k).
+    """
+    q = l2_normalize(queries.astype(jnp.float32))
+    fn = jax.jit(
+        jax.shard_map(
+            partial(_local_then_global_topk, k=k, axis_name=axis),
+            mesh=mesh,
+            in_specs=(P(), P(axis, None)),
+            out_specs=(P(), P()),
+            # Outputs are replicated by construction (all_gather + identical
+            # top_k on every shard); the static VMA check can't prove it.
+            check_vma=False,
+        )
+    )
+    return fn(q, gallery_sharded)
+
+
+class ShardedGallery:
+    """Gallery sharded over a mesh axis for ≥1M-identity search.
+
+    Host keeps the name list; the device matrix lives row-sharded. Rows are
+    padded to a multiple of the axis size with -inf-scoring sentinels.
+    """
+
+    def __init__(self, mesh: Mesh, axis: str = "gallery", dim: int = 512):
+        self.mesh = mesh
+        self.axis = axis
+        self.dim = dim
+        self.names: list[str] = []
+        self._matrix: Optional[jax.Array] = None  # (N_padded, D) sharded
+        self._n_real = 0
+
+    def __len__(self) -> int:
+        return self._n_real
+
+    @property
+    def axis_size(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    def set_all(self, names: list[str], matrix: np.ndarray) -> None:
+        """Load the full gallery: normalize, pad, shard."""
+        n = len(names)
+        assert matrix.shape == (n, self.dim)
+        norm = matrix / np.maximum(
+            np.linalg.norm(matrix, axis=1, keepdims=True), 1e-12
+        )
+        pad = (-n) % self.axis_size
+        if pad:
+            # Sentinel rows with all-zero vectors: cosine 0, never above a
+            # real match at any sane threshold; names guarded host-side.
+            norm = np.concatenate([norm, np.zeros((pad, self.dim), np.float32)])
+        self.names = list(names)
+        self._n_real = n
+        self._matrix = jax.device_put(
+            jnp.asarray(norm), NamedSharding(self.mesh, P(self.axis, None))
+        )
+
+    def topk(self, queries: np.ndarray, k: int = 5):
+        """Global top-k over the sharded gallery; filters padding host-side."""
+        if self._matrix is None or self._n_real == 0:
+            return np.zeros((len(queries), 0)), np.zeros((len(queries), 0), int)
+        k_eff = min(k, self._n_real)
+        s, i = sharded_topk(
+            jnp.asarray(queries), self._matrix, self.mesh, k_eff, self.axis
+        )
+        s, i = np.asarray(s), np.asarray(i)
+        # Padding rows can only appear when k_eff > real rows in some shard;
+        # mask them out defensively.
+        valid = i < self._n_real
+        s = np.where(valid, s, -np.inf)
+        order = np.argsort(-s, axis=1)
+        return np.take_along_axis(s, order, 1), np.take_along_axis(i, order, 1)

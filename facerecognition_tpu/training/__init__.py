@@ -1,0 +1,20 @@
+"""Training layer: pure jitted train steps, YAML-config trainers, schedules,
+early stopping, checkpoint/resume — rebuild of the reference trainers
+(models/arcface/train_arcface.py, models/facenet/train_facenet.py) with the
+hot loop as a data-parallel pjit step."""
+
+from facerecognition_tpu.training.steps import (
+    ArcFaceTrainState,
+    make_arcface_train_step,
+    make_arcface_eval_step,
+    make_facenet_train_step,
+    softmax_cross_entropy,
+)
+
+__all__ = [
+    "ArcFaceTrainState",
+    "make_arcface_train_step",
+    "make_arcface_eval_step",
+    "make_facenet_train_step",
+    "softmax_cross_entropy",
+]

@@ -1,0 +1,167 @@
+"""RecognitionEngine + Gallery + sharded gallery tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from facerecognition_tpu.inference.engine import Gallery, RecognitionEngine
+from facerecognition_tpu.inference.extract_embeddings import (
+    EmbedderConfig,
+    Embedder,
+    build_db,
+)
+from facerecognition_tpu.parallel import ShardedGallery, create_mesh
+
+
+class SmallEmbedder(Embedder):
+    """Tiny arcface embedder (random init) for fast tests."""
+
+    def __init__(self):
+        from facerecognition_tpu.models.arcface import ArcFaceModel
+
+        config = EmbedderConfig("arcface", 512, 112, jnp.float32)
+        model = ArcFaceModel(embedding_size=512, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
+        super().__init__(config, variables)
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    return SmallEmbedder()
+
+
+class TestGallery:
+    def test_add_match_roundtrip(self, rng):
+        g = Gallery(dim=8)
+        for i in range(5):
+            g.add(f"p{i}", rng.normal(size=8))
+        assert len(g) == 5
+        assert g.names == [f"p{i}" for i in range(5)]
+        # re-add replaces
+        g.add("p2", np.ones(8))
+        assert len(g) == 5
+        np.testing.assert_allclose(
+            np.asarray(g.matrix)[2], np.ones(8) / np.sqrt(8), atol=1e-6
+        )
+
+    def test_save_load(self, rng, tmp_path):
+        g = Gallery(dim=16)
+        g.add("alice", rng.normal(size=16))
+        g.add("bob", rng.normal(size=16))
+        path = str(tmp_path / "db.npy")
+        g.save(path)
+        g2 = Gallery.load(path)
+        assert g2.names == ["alice", "bob"]
+        np.testing.assert_allclose(
+            np.asarray(g.matrix), np.asarray(g2.matrix), atol=1e-6
+        )
+
+    def test_remove(self, rng):
+        g = Gallery(dim=4)
+        g.add("a", rng.normal(size=4))
+        g.add("b", rng.normal(size=4))
+        assert g.remove("a")
+        assert not g.remove("zz")
+        assert g.names == ["b"]
+
+
+class TestEngine:
+    def test_recognize_result_contract(self, embedder, rng):
+        eng = RecognitionEngine(embedder=embedder, threshold=0.3)
+        img_a = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+        img_b = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+        assert eng.add_to_db("alice", [img_a])
+        assert eng.add_to_db("bob", [img_b])
+
+        res = eng.recognize(img_a)
+        assert set(res) >= {"identity", "confidence", "top_k", "embedding", "status"}
+        assert res["status"] == "success"
+        assert res["identity"] == "alice"
+        assert res["confidence"] > 0.9
+        assert res["top_k"][0][0] == "alice"
+        assert len(res["top_k"]) == 2
+
+    def test_unknown_below_threshold(self, embedder, rng):
+        eng = RecognitionEngine(embedder=embedder, threshold=0.999)
+        eng.add_to_db("alice", [rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)])
+        other = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+        res = eng.recognize(other)
+        assert res["identity"] == "Unknown"
+        assert res["status"] == "success"
+
+    def test_no_db_error(self, embedder, rng):
+        eng = RecognitionEngine(embedder=embedder)
+        res = eng.recognize(rng.integers(0, 256, (112, 112, 3), dtype=np.uint8))
+        assert res["status"] == "error"
+        assert "database" in res["message"].lower()
+
+    def test_missing_file_error(self, embedder):
+        eng = RecognitionEngine(embedder=embedder)
+        res = eng.recognize("/nonexistent/img.jpg")
+        assert res["status"] == "error"
+
+    def test_batch_matches_single(self, embedder, rng):
+        eng = RecognitionEngine(embedder=embedder, threshold=0.3)
+        imgs = [
+            rng.integers(0, 256, (112, 112, 3), dtype=np.uint8) for _ in range(3)
+        ]
+        for i, img in enumerate(imgs):
+            eng.add_to_db(f"p{i}", [img])
+        batch = eng.recognize_batch(imgs + ["/missing.jpg"])
+        assert len(batch) == 4
+        for i in range(3):
+            single = eng.recognize(imgs[i])
+            assert batch[i]["identity"] == single["identity"] == f"p{i}"
+        assert batch[3]["status"] == "error"
+
+    def test_set_threshold(self, embedder):
+        eng = RecognitionEngine(embedder=embedder)
+        eng.set_threshold(0.77)
+        assert eng.threshold == 0.77
+
+
+class TestBuildDb:
+    def test_build_db_from_folders(self, embedder, rng, tmp_path):
+        from PIL import Image
+
+        for person in ("alice", "bob"):
+            pdir = tmp_path / "data" / person
+            pdir.mkdir(parents=True)
+            for i in range(2):
+                arr = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(pdir / f"{i}.png")
+        out = str(tmp_path / "face_db.npy")
+        db = build_db(str(tmp_path / "data"), embedder, output_path=out)
+        assert set(db) == {"alice", "bob"}
+        for v in db.values():
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+        g = Gallery.load(out)
+        assert set(g.names) == {"alice", "bob"}
+
+
+class TestShardedGallery:
+    def test_matches_dense_topk(self, rng):
+        mesh = create_mesh(gallery=-1)  # all 8 virtual devices
+        n, d = 8 * 40, 32
+        mat = rng.normal(size=(n, d)).astype(np.float32)
+        sg = ShardedGallery(mesh, dim=d)
+        sg.set_all([f"i{k}" for k in range(n)], mat)
+        q = mat[[7, 99, 250]] + 0.01 * rng.normal(size=(3, d)).astype(np.float32)
+        scores, idx = sg.topk(q, k=5)
+
+        # dense reference
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        full = qn @ norm.T
+        ref_idx = np.argsort(-full, axis=1)[:, :5]
+        np.testing.assert_array_equal(idx, ref_idx)
+
+    def test_padding_masked(self, rng):
+        mesh = create_mesh(gallery=-1)
+        n, d = 13, 16  # not divisible by 8 → padded
+        mat = rng.normal(size=(n, d)).astype(np.float32)
+        sg = ShardedGallery(mesh, dim=d)
+        sg.set_all([f"i{k}" for k in range(n)], mat)
+        scores, idx = sg.topk(mat[:2], k=5)
+        assert (idx < n).all()

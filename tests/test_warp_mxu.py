@@ -1,0 +1,74 @@
+"""Two-pass MXU warp vs exact gather warp parity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from facerecognition_tpu.ops.image import affine_warp, align_crop_batch
+from facerecognition_tpu.ops.umeyama import ARCFACE_TEMPLATE
+from facerecognition_tpu.ops.warp_mxu import affine_warp_mxu_batch, align_crop_mxu_batch
+
+
+def _smooth(rng, shape):
+    """Low-frequency random image (separable box-blurred noise)."""
+    img = rng.normal(size=shape) * 60 + 128
+    k = np.ones(7) / 7
+    for ax in (0, 1):
+        img = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), ax, img
+        )
+    return img.astype(np.float32)
+
+
+def test_identity_warp_exact(rng):
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.float32)
+    m = jnp.tile(jnp.eye(2, 3), (1, 1, 1))
+    out = affine_warp_mxu_batch(jnp.asarray(img)[None], m, 64, 64)
+    np.testing.assert_allclose(np.asarray(out)[0], img, atol=1e-3)
+
+
+def test_matches_gather_warp_on_smooth(rng):
+    img = _smooth(rng, (96, 96, 3))
+    theta, s = 0.2, 1.1
+    m = np.array(
+        [
+            [s * np.cos(theta), -s * np.sin(theta), 6.0],
+            [s * np.sin(theta), s * np.cos(theta), -3.0],
+        ],
+        np.float32,
+    )
+    exact = np.asarray(affine_warp(jnp.asarray(img), jnp.asarray(m), 64, 64))
+    fast = np.asarray(
+        affine_warp_mxu_batch(jnp.asarray(img)[None], jnp.asarray(m)[None], 64, 64)
+    )[0]
+    # Sub-pixel shear approximation: tight on smooth content.
+    assert np.abs(exact - fast).mean() < 0.2
+    assert np.abs(exact - fast).max() < 8.0
+
+
+def test_align_crop_mxu_matches_exact(rng):
+    imgs = np.stack([_smooth(rng, (160, 160, 3)) for _ in range(3)])
+    theta = 0.1
+    rot = np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    lm = np.tile((ARCFACE_TEMPLATE @ rot.T) * 1.2 + 10.0, (3, 1, 1)).astype(
+        np.float32
+    )
+    exact = np.asarray(align_crop_batch(jnp.asarray(imgs), jnp.asarray(lm), 112))
+    fast = np.asarray(align_crop_mxu_batch(jnp.asarray(imgs), jnp.asarray(lm), 112))
+    assert np.abs(exact - fast).mean() < 0.2
+
+
+def test_chunked_batch_equals_small_batch(rng):
+    # batch > chunk path (chunk=16 → use 18 images)
+    imgs = jnp.asarray(rng.integers(0, 256, (18, 48, 48, 3)).astype(np.float32))
+    ms = jnp.tile(
+        jnp.asarray(
+            np.array([[0.9, 0.1, 2.0], [-0.1, 0.9, 1.0]], np.float32)
+        )[None],
+        (18, 1, 1),
+    )
+    full = np.asarray(affine_warp_mxu_batch(imgs, ms, 32, 32))
+    one = np.asarray(affine_warp_mxu_batch(imgs[:1], ms[:1], 32, 32))
+    np.testing.assert_allclose(full[0], one[0], atol=1e-3)
+    assert full.shape == (18, 32, 32, 3)
