@@ -1,0 +1,242 @@
+"""Detector training: anchor matching, focal+smooth-L1 loss, synthetic faces.
+
+The reference ships no detector training (its MTCNN/RetinaFace are frozen
+pip models); a trainable TPU detector needs one. This module provides:
+- anchor target assignment (IoU-based, fixed GT padding — static shapes)
+- the detection loss (focal sigmoid CE + smooth-L1 box/landmark regression)
+- a jitted train step
+- a procedural synthetic-face generator (for tests, smoke pretraining, and
+  the detector demo; real training plugs a WIDER-Face-style dataset into the
+  same step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from facerecognition_tpu.models.detector_net import BlazeFaceNet, anchor_centers
+from facerecognition_tpu.ops.nms import iou_matrix
+
+MAX_GT = 4  # static per-image ground-truth face slots
+
+
+def anchor_default_boxes(anchors: jax.Array) -> jax.Array:
+    """(A, 4) xyxy default boxes: base x base squares at anchor centers."""
+    cx, cy, s = anchors[:, 0], anchors[:, 1], anchors[:, 2]
+    return jnp.stack([cx - s / 2, cy - s / 2, cx + s / 2, cy + s / 2], -1)
+
+
+@jax.jit
+def assign_targets(
+    anchors: jax.Array,
+    gt_boxes: jax.Array,
+    gt_landmarks: jax.Array,
+    gt_valid: jax.Array,
+):
+    """Match anchors to padded GT faces.
+
+    Args:
+      anchors: (A, 3) [cx, cy, base].
+      gt_boxes: (MAX_GT, 4) xyxy (padding rows arbitrary).
+      gt_landmarks: (MAX_GT, 5, 2).
+      gt_valid: (MAX_GT,) bool.
+
+    Returns:
+      dict with cls (A,) float {0, 1}, reg (A, 14) regression targets,
+      pos (A,) bool positive mask. An anchor is positive if IoU > 0.5 with a
+      valid GT, or if it is the best anchor for that GT (guarantees every GT
+      has ≥1 positive).
+    """
+    boxes_a = anchor_default_boxes(anchors)
+    iou = iou_matrix(boxes_a, gt_boxes)  # (A, G)
+    iou = jnp.where(gt_valid[None, :], iou, 0.0)
+
+    best_gt = jnp.argmax(iou, axis=1)  # (A,)
+    best_iou = jnp.max(iou, axis=1)
+    # Force-match: the best anchor per GT is positive.
+    best_anchor_per_gt = jnp.argmax(iou, axis=0)  # (G,)
+    forced = jnp.zeros(anchors.shape[0], bool)
+    forced = forced.at[best_anchor_per_gt].set(gt_valid)
+    # Forced anchors adopt their GT.
+    forced_gt = jnp.zeros(anchors.shape[0], jnp.int32)
+    forced_gt = forced_gt.at[best_anchor_per_gt].set(
+        jnp.arange(MAX_GT, dtype=jnp.int32)
+    )
+    pos = (best_iou > 0.5) | forced
+    gt_idx = jnp.where(forced, forced_gt, best_gt)
+
+    g = gt_boxes[gt_idx]  # (A, 4)
+    g_lm = gt_landmarks[gt_idx]  # (A, 5, 2)
+    cx, cy, s = anchors[:, 0], anchors[:, 1], anchors[:, 2]
+    g_cx = (g[:, 0] + g[:, 2]) / 2
+    g_cy = (g[:, 1] + g[:, 3]) / 2
+    g_w = jnp.maximum(g[:, 2] - g[:, 0], 1e-3)
+    g_h = jnp.maximum(g[:, 3] - g[:, 1], 1e-3)
+    reg = jnp.concatenate(
+        [
+            ((g_cx - cx) / (0.5 * s))[:, None],
+            ((g_cy - cy) / (0.5 * s))[:, None],
+            jnp.log(g_w / s)[:, None],
+            jnp.log(g_h / s)[:, None],
+            ((g_lm - jnp.stack([cx, cy], -1)[:, None, :]) / (0.5 * s)[:, None, None]).reshape(-1, 10),
+        ],
+        axis=1,
+    )
+    return {"cls": pos.astype(jnp.float32), "reg": reg, "pos": pos}
+
+
+def smooth_l1(x: jax.Array) -> jax.Array:
+    ax = jnp.abs(x)
+    return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
+
+
+def detection_loss(
+    raw: jax.Array, targets: dict, focal_gamma: float = 2.0, alpha: float = 0.25
+) -> tuple[jax.Array, dict]:
+    """Focal sigmoid CE over all anchors + smooth-L1 on positives.
+
+    raw: (A, 15); targets from :func:`assign_targets`.
+    """
+    logits = raw[:, 0]
+    p = jax.nn.sigmoid(logits)
+    cls_t = targets["cls"]
+    pt = jnp.where(cls_t > 0.5, p, 1.0 - p)
+    alpha_t = jnp.where(cls_t > 0.5, alpha, 1.0 - alpha)
+    bce = -jnp.log(jnp.clip(pt, 1e-7, 1.0))
+    focal = alpha_t * (1.0 - pt) ** focal_gamma * bce
+    n_pos = jnp.maximum(jnp.sum(targets["pos"].astype(jnp.float32)), 1.0)
+    cls_loss = jnp.sum(focal) / n_pos
+
+    reg_err = smooth_l1(raw[:, 1:15] - targets["reg"])
+    reg_loss = (
+        jnp.sum(reg_err * targets["pos"][:, None].astype(jnp.float32)) / n_pos
+    )
+    loss = cls_loss + 2.0 * reg_loss
+    return loss, {"cls_loss": cls_loss, "reg_loss": reg_loss, "n_pos": n_pos}
+
+
+def make_detector_train_step(net: BlazeFaceNet, anchors: jax.Array) -> Callable:
+    """Jitted DP-ready step over batches of (images, gt_boxes, gt_lms, gt_valid)."""
+
+    assign_batch = jax.vmap(
+        lambda gb, gl, gv: assign_targets(anchors, gb, gl, gv)
+    )
+
+    def loss_fn(params, images, gt_boxes, gt_lms, gt_valid):
+        raw = net.apply({"params": params}, images)  # (B, A, 15)
+        targets = assign_batch(gt_boxes, gt_lms, gt_valid)
+        losses, metrics = jax.vmap(detection_loss)(raw, targets)
+        return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
+
+    def step(state: train_state.TrainState, images, gt_boxes, gt_lms, gt_valid):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, gt_boxes, gt_lms, gt_valid
+        )
+        state = state.apply_gradients(grads=grads)
+        metrics["loss"] = loss
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Synthetic face generator (procedural — test/smoke data)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_face_batch(
+    rng: np.random.Generator, batch: int, size: int = 128, p_face: float = 0.9
+):
+    """Procedural 'faces': skin ellipse + eyes/nose/mouth landmarks on noise.
+
+    Returns (images (B, S, S, 3) f32, gt_boxes (B, MAX_GT, 4),
+    gt_lms (B, MAX_GT, 5, 2), gt_valid (B, MAX_GT) bool).
+    """
+    imgs = rng.integers(0, 90, (batch, size, size, 3)).astype(np.float32)
+    boxes = np.zeros((batch, MAX_GT, 4), np.float32)
+    lms = np.zeros((batch, MAX_GT, 5, 2), np.float32)
+    valid = np.zeros((batch, MAX_GT), bool)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for b in range(batch):
+        if rng.random() > p_face:
+            continue
+        r = rng.uniform(size * 0.12, size * 0.3)
+        cx = rng.uniform(r + 2, size - r - 2)
+        cy = rng.uniform(r + 2, size - r - 2)
+        skin = np.array(
+            [rng.uniform(170, 230), rng.uniform(120, 180), rng.uniform(90, 140)]
+        )
+        mask = ((xx - cx) / r) ** 2 + ((yy - cy) / (1.25 * r)) ** 2 <= 1.0
+        imgs[b][mask] = skin + rng.normal(0, 6, 3)
+        # landmarks in the canonical face layout
+        eye_y = cy - 0.35 * r
+        lm = np.array(
+            [
+                [cx - 0.45 * r, eye_y],
+                [cx + 0.45 * r, eye_y],
+                [cx, cy + 0.15 * r],
+                [cx - 0.35 * r, cy + 0.65 * r],
+                [cx + 0.35 * r, cy + 0.65 * r],
+            ]
+        )
+        for k, (lx, ly) in enumerate(lm):
+            ix, iy = int(lx), int(ly)
+            rad = max(1, int(r * 0.1))
+            m2 = (xx - ix) ** 2 + (yy - iy) ** 2 <= rad * rad
+            imgs[b][m2] = 25.0 if k < 2 else (80.0 if k == 2 else 50.0)
+        boxes[b, 0] = [cx - r, cy - 1.25 * r, cx + r, cy + 1.25 * r]
+        lms[b, 0] = lm
+        valid[b, 0] = True
+    return imgs, boxes, lms, valid
+
+
+@dataclasses.dataclass
+class DetectorTrainConfig:
+    input_size: int = 128
+    batch_size: int = 32
+    steps: int = 500
+    lr: float = 1e-3
+    seed: int = 0
+
+
+def train_detector_synthetic(
+    config: DetectorTrainConfig,
+    log_every: int = 100,
+    progress: Callable[[int, float], None] | None = None,
+):
+    """Train BlazeFaceNet on procedural faces; returns (variables, history)."""
+    net = BlazeFaceNet()
+    anchors = jnp.asarray(anchor_centers(config.input_size))
+    rng = np.random.default_rng(config.seed)
+    variables = net.init(
+        jax.random.PRNGKey(config.seed),
+        jnp.zeros((1, config.input_size, config.input_size, 3)),
+    )
+    tx = optax.adam(config.lr)
+    state = train_state.TrainState.create(
+        apply_fn=net.apply, params=variables["params"], tx=tx
+    )
+    step_fn = make_detector_train_step(net, anchors)
+    history = []
+    for step in range(config.steps):
+        imgs, gb, gl, gv = synthetic_face_batch(
+            rng, config.batch_size, config.input_size
+        )
+        norm = jnp.asarray(imgs) / 127.5 - 1.0
+        state, metrics = step_fn(
+            state, norm, jnp.asarray(gb), jnp.asarray(gl), jnp.asarray(gv)
+        )
+        if step % log_every == 0 or step == config.steps - 1:
+            loss = float(metrics["loss"])
+            history.append({"step": step, "loss": loss})
+            if progress is not None:
+                progress(step, loss)
+    return {"params": state.params}, history
