@@ -157,6 +157,13 @@ class InceptionResnetV1(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if x.shape[1] < 71 or x.shape[2] < 71:
+            # Below 71px the VALID-padded reductions produce zero-size maps
+            # (silent NaNs from the empty global pool).
+            raise ValueError(
+                f"InceptionResnetV1 needs inputs >= 71px, got {x.shape[1:3]} "
+                "(the FaceNet contract is 160x160)"
+            )
         x = x.astype(self.dtype)
         x = BasicConv2d(32, (3, 3), strides=2, dtype=self.dtype, name="conv2d_1a")(x, train)
         x = BasicConv2d(32, (3, 3), dtype=self.dtype, name="conv2d_2a")(x, train)

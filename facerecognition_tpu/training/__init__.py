@@ -10,6 +10,13 @@ from facerecognition_tpu.training.steps import (
     make_facenet_train_step,
     softmax_cross_entropy,
 )
+from facerecognition_tpu.training.config import load_config, deep_merge
+from facerecognition_tpu.training.schedules import (
+    EarlyStopping,
+    ReduceOnPlateau,
+    build_schedule,
+)
+from facerecognition_tpu.training.checkpoint import CheckpointManager
 
 __all__ = [
     "ArcFaceTrainState",
@@ -17,4 +24,10 @@ __all__ = [
     "make_arcface_eval_step",
     "make_facenet_train_step",
     "softmax_cross_entropy",
+    "load_config",
+    "deep_merge",
+    "EarlyStopping",
+    "ReduceOnPlateau",
+    "build_schedule",
+    "CheckpointManager",
 ]

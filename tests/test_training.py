@@ -1,0 +1,302 @@
+"""Training-stack tests: config, schedules, data layer, end-to-end trainers."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from facerecognition_tpu.data import (
+    AUG_TIERS,
+    BatchLoader,
+    ClassBalancedSampler,
+    CSVDataset,
+    FolderDataset,
+    PKSampler,
+    augment_batch,
+    check_identity_overlap,
+    split_by_identity,
+    split_by_image,
+)
+from facerecognition_tpu.training.config import (
+    apply_dotted_overrides,
+    deep_merge,
+    load_config,
+)
+from facerecognition_tpu.training.schedules import (
+    EarlyStopping,
+    ReduceOnPlateau,
+    build_schedule,
+)
+
+
+@pytest.fixture(scope="module")
+def image_tree(tmp_path_factory):
+    """Synthetic person-per-folder dataset: 6 identities x 6 images, 64px.
+
+    Images are identity-colored patterns so a tiny model can actually learn.
+    """
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("faces")
+    rng = np.random.default_rng(0)
+    for pid in range(6):
+        pdir = root / f"person{pid}"
+        pdir.mkdir()
+        base = rng.integers(40, 200, 3)
+        for i in range(6):
+            img = rng.integers(0, 60, (64, 64, 3)).astype(np.int64)
+            img[10 + pid * 6 : 18 + pid * 6, :, :] += base  # identity stripe
+            img[:, 10 + pid * 8 : 14 + pid * 8, :] += base
+            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+                pdir / f"{i}.png"
+            )
+    return str(root)
+
+
+class TestConfig:
+    def test_deep_merge(self):
+        base = {"a": {"b": 1, "c": 2}, "d": 3}
+        out = deep_merge(base, {"a": {"b": 9}, "e": 5})
+        assert out == {"a": {"b": 9, "c": 2}, "d": 3, "e": 5}
+        assert base["a"]["b"] == 1  # no mutation
+
+    def test_dotted_overrides(self):
+        cfg = apply_dotted_overrides(
+            {"train": {"lr": 0.1}}, ["train.lr=0.5", "train.opt=adam", "x.y=true"]
+        )
+        assert cfg["train"]["lr"] == 0.5
+        assert cfg["train"]["opt"] == "adam"
+        assert cfg["x"]["y"] is True
+
+    def test_load_yaml(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("train:\n  lr: 0.2\n")
+        cfg = load_config(str(p), ["train.bs=64"], {"train": {"lr": 0.1, "bs": 32}})
+        assert cfg["train"] == {"lr": 0.2, "bs": 64}
+
+
+class TestSchedules:
+    def test_warmup_cosine(self):
+        s = build_schedule(1.0, "cosine", total_steps=100, warmup_steps=10)
+        assert float(s(0)) == pytest.approx(0.1)
+        assert float(s(10)) == pytest.approx(1.0, abs=0.01)
+        assert float(s(99)) < 0.01
+
+    def test_step_schedule(self):
+        s = build_schedule(1.0, "step", step_size=10, gamma=0.1)
+        assert float(s(5)) == pytest.approx(1.0)
+        assert float(s(15)) == pytest.approx(0.1)
+
+    def test_early_stopping(self):
+        es = EarlyStopping(patience=2, mode="max")
+        assert not es(0.5) and not es(0.6)
+        assert not es(0.55)  # 1 bad epoch
+        assert es(0.58)  # 2nd bad epoch → stop
+        assert es.should_stop
+
+    def test_plateau(self):
+        pl = ReduceOnPlateau(factor=0.5, patience=1)
+        assert pl.update(1.0) == 1.0
+        assert pl.update(0.9) == 1.0
+        pl.update(0.95)
+        assert pl.update(0.96) == 0.5  # two non-improving → scale down
+
+
+class TestDataLayer:
+    def test_folder_dataset(self, image_tree):
+        ds = FolderDataset(image_tree, min_images=2)
+        assert ds.num_classes == 6
+        assert len(ds) == 36
+        assert ds.label_names == [f"person{i}" for i in range(6)]
+
+    def test_csv_dataset(self, image_tree, tmp_path):
+        import pandas as pd
+
+        ds = FolderDataset(image_tree)
+        csv = tmp_path / "idx.csv"
+        pd.DataFrame(
+            {"image_path": ds.paths, "identity": [ds.label_names[l] for l in ds.labels]}
+        ).to_csv(csv, index=False)
+        ds2 = CSVDataset(str(csv))
+        assert len(ds2) == len(ds)
+        assert ds2.num_classes == 6
+
+    def test_splits_and_overlap_guard(self, image_tree):
+        ds = FolderDataset(image_tree)
+        tr, va = split_by_image(ds, 0.2)
+        assert len(tr) + len(va) == len(ds)
+        tr2, va2 = split_by_identity(ds, 0.34)
+        assert not (
+            set(tr2.labels.tolist()) & set(va2.labels.tolist())
+        )
+        with pytest.raises(ValueError, match="leakage"):
+            check_identity_overlap(tr, va)  # by_image split overlaps
+
+    def test_class_balanced_sampler(self, image_tree):
+        ds = FolderDataset(image_tree)
+        s = ClassBalancedSampler(ds, 12, seed=0)
+        batch = next(iter(s))
+        assert batch.shape == (12,)
+
+    def test_pk_sampler(self, image_tree):
+        ds = FolderDataset(image_tree)
+        s = PKSampler(ds, p_identities=3, k_images=2, seed=0)
+        batch = next(iter(s))
+        labels = ds.labels[batch]
+        assert len(batch) == 6
+        assert len(np.unique(labels)) == 3
+        for c in np.unique(labels):
+            assert (labels == c).sum() == 2
+
+    def test_batch_loader(self, image_tree):
+        ds = FolderDataset(image_tree)
+        s = ClassBalancedSampler(ds, 8, seed=0)
+        loader = BatchLoader(ds, iter(s), image_size=64, n_workers=2)
+        imgs, labels = next(iter(loader))
+        loader.stop()
+        assert imgs.shape == (8, 64, 64, 3)
+        assert imgs.dtype == np.uint8
+        assert labels.shape == (8,)
+
+    def test_augment_tiers(self, rng):
+        imgs = jnp.asarray(
+            rng.integers(0, 256, (4, 64, 64, 3)).astype(np.float32)
+        )
+        key = jax.random.PRNGKey(0)
+        for tier in AUG_TIERS:
+            out = augment_batch(key, imgs, tier)
+            assert out.shape == imgs.shape
+            assert float(out.min()) >= 0 and float(out.max()) <= 255
+        # 'none' tier is identity
+        none = augment_batch(key, imgs, "none")
+        np.testing.assert_allclose(np.asarray(none), np.asarray(imgs), atol=1e-4)
+
+
+@pytest.mark.slow
+class TestArcFaceTrainerEndToEnd:
+    def test_train_checkpoint_resume(self, image_tree, tmp_path):
+        from facerecognition_tpu.training.train_arcface import ArcFaceTrainer
+
+        cfg = {
+            "data": {
+                "data_dir": image_tree,
+                "image_size": 64,
+                "val_frac": 0.25,
+                "augmentation": "light",
+                "num_workers": 2,
+                "min_images": 1,
+            },
+            "train": {
+                "batch_size": 12,
+                "num_epochs": 2,
+                "steps_per_epoch": 4,
+                "lr": 0.01,
+                "warmup_epochs": 0,
+                "early_stopping_patience": 50,
+            },
+            "eval": {"num_pairs": 60, "batch_size": 32},
+            "checkpoint": {
+                "dir": str(tmp_path / "ck"),
+                "keep_last_n": 2,
+                "save_every_epochs": 1,
+            },
+        }
+        trainer = ArcFaceTrainer(cfg)
+        history = trainer.train()
+        assert len(history) == 2
+        assert all(np.isfinite(h["train_loss"]) for h in history)
+        assert trainer.ckpt.exists("best") and trainer.ckpt.exists("last")
+        hist_file = os.path.join(trainer.ckpt.directory, "training_history.json")
+        assert json.load(open(hist_file)) == history
+
+        # resume: new trainer, restore, auto-extends epochs and keeps history
+        t2 = ArcFaceTrainer(cfg)
+        meta = t2.resume("last")
+        assert t2.epoch == 2
+        assert t2.history == history
+        assert t2.config["train"]["num_epochs"] > 2  # auto-extend
+        t2.config["train"]["num_epochs"] = 3
+        h2 = t2.train()
+        assert len(h2) == 3
+
+
+@pytest.mark.slow
+class TestFaceNetTrainerEndToEnd:
+    def test_train_one_epoch(self, image_tree, tmp_path):
+        from facerecognition_tpu.training.train_facenet import FaceNetTrainer
+
+        cfg = {
+            "data": {
+                "data_dir": image_tree,
+                "image_size": 80,  # IRv1 minimum is 71px
+                "val_frac": 0.34,
+                "augmentation": "none",
+                "num_workers": 2,
+                "min_images": 1,
+            },
+            "train": {
+                "p_identities": 3,
+                "k_images": 2,
+                "num_epochs": 1,
+                "steps_per_epoch": 3,
+                "lr": 1e-4,
+            },
+            "eval": {"num_pairs": 40, "batch_size": 16},
+            "checkpoint": {"dir": str(tmp_path / "fn"), "keep_last_n": 2},
+        }
+        trainer = FaceNetTrainer(cfg)
+        history = trainer.train()
+        assert len(history) == 1
+        rec = history[0]
+        assert np.isfinite(rec["train_loss"])
+        assert {"val_loss", "ver_acc", "d_ap", "d_an"} <= set(rec)
+        assert trainer.ckpt.exists("last")
+
+
+class TestLBPHTraining:
+    def test_from_directory_with_threshold(self, image_tree, tmp_path):
+        from facerecognition_tpu.training.train_lbph import (
+            train_lbph_from_directory,
+        )
+        import yaml
+
+        config_path = str(tmp_path / "lbph.yaml")
+        result = train_lbph_from_directory(
+            image_tree,
+            output_dir=str(tmp_path / "lbph"),
+            image_size=64,
+            config_path=config_path,
+        )
+        assert result["n_identities"] == 6
+        assert os.path.exists(result["model_path"])
+        assert os.path.exists(result["label_map_path"])
+        assert os.path.exists(str(tmp_path / "lbph" / "optimal_threshold.txt"))
+        # config writeback feedback loop
+        cfg = yaml.safe_load(open(config_path))
+        assert cfg["default_threshold"] == result["optimal_threshold"]
+
+    def test_threshold_search_semantics(self, rng):
+        from facerecognition_tpu.models.lbph import LBPHModel
+        from facerecognition_tpu.training.train_lbph import (
+            evaluate_lbph,
+            find_optimal_threshold,
+        )
+
+        images = rng.integers(0, 256, (12, 40, 40)).astype(np.uint8)
+        labels = np.repeat(np.arange(4), 3)
+        model = LBPHModel()
+        model.train(images, labels)
+        thr, best, sweep = find_optimal_threshold(
+            model, images, labels, thresholds=range(5, 100, 10)
+        )
+        assert best["score"] == max(r["score"] for r in sweep if r["coverage"] >= 0.3)
+        # coverage is monotone nondecreasing in threshold (reference
+        # test_lbph_logic.py:115-143 invariant)
+        covs = [r["coverage"] for r in sweep]
+        assert all(a <= b + 1e-9 for a, b in zip(covs, covs[1:]))
+        ev = evaluate_lbph(model, images, labels, thr)
+        assert 0.0 <= ev["accuracy"] <= 1.0
+        assert 0.0 <= ev["coverage"] <= 1.0
