@@ -1,0 +1,545 @@
+"""Web app: framework-free WSGI rebuild of the reference Flask app.
+
+Route parity with reference web_app.py (1246 LoC):
+- ``GET/POST /``                 single-image recognition, multi-model compare
+                                 + Grad-CAM overlays (web_app.py:707-824)
+- ``GET/POST /batch``            multi-upload batch recognition (:827-892)
+- ``GET /realtime``              realtime page (:1056)
+- ``GET /video_feed``            MJPEG stream (:1062-1066)
+- ``GET /realtime_result``       latest recognition JSON (:1069-1078)
+- ``POST /stop_camera``          (:1081)
+- ``POST /set_realtime_model``   (:1084-1093)
+- ``GET /database-builder``      builder page (:1096)
+- ``POST /database-builder/build``          (:1129-1205)
+- ``GET /database-builder/status/<job_id>`` (:1208-1214)
+- ``GET /database-builder/download/<path>`` with path-prefix guard (:1217-1242)
+
+Differences by design: engines are constructed once and every recognition
+runs through the batched jitted pipeline — the reference builds a fresh
+MTCNN per request (web_app.py:356,408,461) and loops recognize() per upload.
+No Flask dependency: plain WSGI + stdlib server (`python -m
+facerecognition_tpu.apps.web_app`).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import mimetypes
+import os
+import threading
+import time
+from email.parser import BytesParser
+from email.policy import HTTP
+from typing import Any, Callable, Optional
+from urllib.parse import parse_qs
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Engine registry (lazy singletons — reference web_app.py:128-339)
+# ---------------------------------------------------------------------------
+
+
+class EngineRegistry:
+    def __init__(
+        self,
+        arcface_ckpt: Optional[str] = None,
+        facenet_ckpt: Optional[str] = None,
+        lbph_model_path: Optional[str] = None,
+        gallery_path: Optional[str] = None,
+        detector=None,
+        threshold: float = 0.5,
+    ):
+        self.config = dict(
+            arcface_ckpt=arcface_ckpt,
+            facenet_ckpt=facenet_ckpt,
+            lbph_model_path=lbph_model_path,
+            gallery_path=gallery_path,
+            threshold=threshold,
+        )
+        self.detector = detector
+        self._engines: dict[str, Any] = {}
+        self._lock = threading.Lock()
+
+    def get(self, model_type: str):
+        with self._lock:
+            if model_type in self._engines:
+                return self._engines[model_type]
+            engine = self._build(model_type)
+            self._engines[model_type] = engine
+            return engine
+
+    def _build(self, model_type: str):
+        try:
+            if model_type in ("arcface", "facenet"):
+                from facerecognition_tpu.inference.engine import (
+                    Gallery,
+                    RecognitionEngine,
+                )
+
+                ckpt = self.config[f"{model_type}_ckpt"]
+                engine = RecognitionEngine(
+                    model_type=model_type,
+                    checkpoint_path=ckpt,
+                    threshold=self.config["threshold"],
+                    detector=self.detector,
+                )
+                gp = self.config["gallery_path"]
+                if gp and os.path.exists(gp):
+                    engine.gallery = Gallery.load(gp)
+                return engine
+            if model_type == "lbph":
+                from facerecognition_tpu.models.lbph import LBPHModel
+
+                path = self.config["lbph_model_path"]
+                if path and os.path.exists(path):
+                    return LBPHModel.load(path)
+                return None
+        except (OSError, ValueError):
+            return None  # degrade like the reference ("Model not loaded")
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Request helpers
+# ---------------------------------------------------------------------------
+
+
+def _parse_multipart(environ) -> dict[str, list]:
+    """Minimal multipart/form-data parser on the stdlib email machinery."""
+    ctype = environ.get("CONTENT_TYPE", "")
+    length = int(environ.get("CONTENT_LENGTH") or 0)
+    body = environ["wsgi.input"].read(length)
+    if not ctype.startswith("multipart/form-data"):
+        return {
+            k: [v[-1]] for k, v in parse_qs(body.decode(errors="ignore")).items()
+        }
+    msg = BytesParser(policy=HTTP).parsebytes(
+        b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body
+    )
+    fields: dict[str, list] = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        filename = part.get_filename()
+        payload = part.get_payload(decode=True)
+        if filename:
+            fields.setdefault(name, []).append(
+                {"filename": filename, "data": payload}
+            )
+        else:
+            fields.setdefault(name, []).append(
+                (payload or b"").decode(errors="ignore")
+            )
+    return fields
+
+
+def _decode_image(data: bytes) -> Optional[np.ndarray]:
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"))
+    except OSError:
+        return None
+
+
+def _b64_png(rgb: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.asarray(rgb, np.uint8)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+# ---------------------------------------------------------------------------
+# Recognition wrappers (reference recognize_with_<model>, web_app.py:492-701)
+# ---------------------------------------------------------------------------
+
+
+def recognize_with_model(registry: EngineRegistry, model_type: str, image: np.ndarray) -> dict:
+    engine = registry.get(model_type)
+    if engine is None:
+        return {"model": model_type, "status": "error", "message": "Model not loaded"}
+    t0 = time.perf_counter()
+    if model_type == "lbph":
+        import jax.numpy as jnp
+
+        from facerecognition_tpu.ops.image import bilinear_resize, rgb_to_grayscale
+
+        gray = np.asarray(rgb_to_grayscale(jnp.asarray(image.astype(np.float32))))
+        size = 100
+        gray = np.asarray(bilinear_resize(jnp.asarray(gray), size, size))
+        label, conf = engine.predict(gray)
+        result = {
+            "model": model_type,
+            "status": "success",
+            "identity": str(label) if label >= 0 else "Unknown",
+            "confidence": conf,  # LBPH: distance, lower = better
+            "top_k": [],
+        }
+    else:
+        res = engine.recognize(image)
+        result = {
+            "model": model_type,
+            "status": res["status"],
+            "identity": res["identity"],
+            "confidence": res["confidence"],
+            "top_k": [(n, float(s)) for n, s in res.get("top_k", [])],
+        }
+        if res.get("message"):
+            result["message"] = res["message"]
+    result["time_ms"] = (time.perf_counter() - t0) * 1e3
+    return result
+
+
+def gradcam_overlays(registry: EngineRegistry, image: np.ndarray) -> dict[str, str]:
+    """ArcFace Grad-CAM + FaceNet activation-CAM overlays as base64 PNG
+    (reference web_app.py:780-804)."""
+    out = {}
+    try:
+        from facerecognition_tpu.inference.explainability import (
+            ExplainabilityEngine,
+            FaceNetExplainabilityEngine,
+        )
+
+        arc = registry.get("arcface")
+        if arc is not None:
+            exp = ExplainabilityEngine(arc.embedder, registry.detector)
+            r = exp.explain(image)
+            if r is not None:
+                out["arcface"] = _b64_png(r["overlay"])
+        fn = registry.get("facenet")
+        if fn is not None:
+            exp = FaceNetExplainabilityEngine(fn.embedder, registry.detector)
+            r = exp.explain(image)
+            if r is not None:
+                out["facenet"] = _b64_png(r["overlay"])
+    except (ValueError, RuntimeError):
+        pass
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HTML (minimal functional pages)
+# ---------------------------------------------------------------------------
+
+_PAGE = """<!doctype html><html><head><title>FaceRecognition TPU</title>
+<style>body{{font-family:sans-serif;margin:2em}}nav a{{margin-right:1em}}
+.result{{border:1px solid #ccc;padding:1em;margin:1em 0}}</style></head>
+<body><nav><a href="/">Home</a><a href="/batch">Batch</a>
+<a href="/realtime">Realtime</a><a href="/database-builder">Database builder</a></nav>
+<h1>{title}</h1>{body}</body></html>"""
+
+_HOME_FORM = """<form method=post enctype=multipart/form-data>
+<input type=file name=image accept=image/*>
+<label>threshold <input name=threshold value=0.5 size=4></label>
+<label><input type=checkbox name=gradcam value=1> Grad-CAM</label>
+<button>Recognize</button></form>"""
+
+_BATCH_FORM = """<form method=post enctype=multipart/form-data>
+<input type=file name=images accept=image/* multiple>
+<select name=model><option>arcface</option><option>facenet</option>
+<option>lbph</option></select><button>Recognize batch</button></form>"""
+
+_REALTIME_PAGE = """<img src="/video_feed" width=640>
+<pre id=r></pre><script>
+setInterval(async()=>{document.getElementById('r').textContent=
+JSON.stringify(await (await fetch('/realtime_result')).json(),null,1)},500);
+</script>
+<form method=post action=/set_realtime_model><select name=model>
+<option>arcface</option><option>facenet</option></select>
+<button>Set model</button></form>
+<form method=post action=/stop_camera><button>Stop camera</button></form>"""
+
+_BUILDER_PAGE = """<form id=f><input name=dataset_dir placeholder="dataset dir" size=40>
+<select name=model_type><option>arcface</option><option>facenet</option>
+<option>lbph</option></select><button>Build</button></form>
+<pre id=status></pre><script>
+document.getElementById('f').onsubmit=async e=>{e.preventDefault();
+const fd=new FormData(e.target);
+const r=await fetch('/database-builder/build',{method:'POST',
+body:new URLSearchParams(fd)});const j=await r.json();
+const poll=setInterval(async()=>{const s=await (await
+fetch('/database-builder/status/'+j.job_id)).json();
+document.getElementById('status').textContent=JSON.stringify(s,null,1);
+if(s.status=='completed'||s.status=='failed')clearInterval(poll);},700);};
+</script>"""
+
+
+# ---------------------------------------------------------------------------
+# WSGI app
+# ---------------------------------------------------------------------------
+
+
+def create_app(
+    registry: Optional[EngineRegistry] = None,
+    builder=None,
+    realtime=None,
+    download_root: Optional[str] = None,
+) -> Callable:
+    """Build the WSGI application. All collaborators are injectable for
+    testing; defaults construct the standard stack lazily."""
+    from facerecognition_tpu.inference.database_builder import get_builder
+
+    registry = registry or EngineRegistry()
+    builder = builder or get_builder()
+    download_root = os.path.abspath(download_root or builder.output_root)
+    state = {"realtime": realtime, "realtime_model": "arcface"}
+    state_lock = threading.Lock()
+
+    def get_realtime():
+        with state_lock:
+            if state["realtime"] is None:
+                from facerecognition_tpu.apps.realtime import RealtimeRecognizer
+
+                engine = registry.get(state["realtime_model"])
+                state["realtime"] = RealtimeRecognizer(
+                    engine, detector=registry.detector
+                )
+            return state["realtime"]
+
+    def respond_json(start, payload, status="200 OK"):
+        body = json.dumps(payload).encode()
+        start(status, [("Content-Type", "application/json"),
+                       ("Content-Length", str(len(body)))])
+        return [body]
+
+    def respond_html(start, title, body, status="200 OK"):
+        page = _PAGE.format(title=title, body=body).encode()
+        start(status, [("Content-Type", "text/html; charset=utf-8"),
+                       ("Content-Length", str(len(page)))])
+        return [page]
+
+    def app(environ, start_response):
+        path = environ.get("PATH_INFO", "/")
+        method = environ.get("REQUEST_METHOD", "GET")
+
+        # -- home: single image, 3-model compare --------------------------
+        if path == "/":
+            if method == "GET":
+                return respond_html(start_response, "Single image", _HOME_FORM)
+            fields = _parse_multipart(environ)
+            files = fields.get("image", [])
+            if not files or not isinstance(files[0], dict):
+                return respond_json(
+                    start_response, {"error": "no image uploaded"}, "400 Bad Request"
+                )
+            image = _decode_image(files[0]["data"])
+            if image is None:
+                return respond_json(
+                    start_response, {"error": "invalid image"}, "400 Bad Request"
+                )
+            threshold = float((fields.get("threshold") or ["0.5"])[0])
+            for m in ("arcface", "facenet"):
+                eng = registry.get(m)
+                if eng is not None:
+                    eng.set_threshold(threshold)
+            results = {
+                m: recognize_with_model(registry, m, image)
+                for m in ("arcface", "facenet", "lbph")
+            }
+            payload = {"results": results}
+            if (fields.get("gradcam") or ["0"])[0] == "1":
+                payload["gradcam"] = gradcam_overlays(registry, image)
+            if "text/html" in environ.get("HTTP_ACCEPT", ""):
+                rows = "".join(
+                    f"<div class=result><b>{m}</b>: {r.get('identity')} "
+                    f"({r.get('confidence', 0):.3f}) "
+                    f"[{r.get('time_ms', 0):.1f} ms]</div>"
+                    for m, r in results.items()
+                )
+                cams = "".join(
+                    f"<div><b>{m} CAM</b><br>"
+                    f'<img src="data:image/png;base64,{b64}"></div>'
+                    for m, b64 in payload.get("gradcam", {}).items()
+                )
+                return respond_html(
+                    start_response, "Results", _HOME_FORM + rows + cams
+                )
+            return respond_json(start_response, payload)
+
+        # -- batch --------------------------------------------------------
+        if path == "/batch":
+            if method == "GET":
+                return respond_html(start_response, "Batch", _BATCH_FORM)
+            fields = _parse_multipart(environ)
+            model = (fields.get("model") or ["arcface"])[0]
+            files = [
+                f for f in fields.get("images", []) if isinstance(f, dict)
+            ]
+            images, names = [], []
+            for f in files:
+                img = _decode_image(f["data"])
+                if img is not None:
+                    images.append(img)
+                    names.append(f["filename"])
+            engine = registry.get(model)
+            if engine is None or model == "lbph":
+                results = [
+                    recognize_with_model(registry, model, img) for img in images
+                ]
+            else:
+                t0 = time.perf_counter()
+                batch = engine.recognize_batch(images)
+                dt = (time.perf_counter() - t0) * 1e3 / max(len(images), 1)
+                results = [
+                    {
+                        "model": model,
+                        "status": r["status"],
+                        "identity": r["identity"],
+                        "confidence": r["confidence"],
+                        "time_ms": dt,
+                    }
+                    for r in batch
+                ]
+            payload = {
+                "results": [
+                    {"filename": n, **r} for n, r in zip(names, results)
+                ]
+            }
+            return respond_json(start_response, payload)
+
+        # -- realtime -----------------------------------------------------
+        if path == "/realtime":
+            return respond_html(start_response, "Realtime", _REALTIME_PAGE)
+
+        if path == "/video_feed":
+            rt = get_realtime()
+            boundary = b"--frame"
+
+            def stream():
+                for jpeg in rt.frames():
+                    yield (
+                        boundary
+                        + b"\r\nContent-Type: image/jpeg\r\n\r\n"
+                        + jpeg
+                        + b"\r\n"
+                    )
+
+            start_response(
+                "200 OK",
+                [
+                    (
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=frame",
+                    )
+                ],
+            )
+            return stream()
+
+        if path == "/realtime_result":
+            rt = get_realtime()
+            return respond_json(start_response, rt.result)
+
+        if path == "/stop_camera" and method == "POST":
+            with state_lock:
+                if state["realtime"] is not None:
+                    state["realtime"].stop()
+                    state["realtime"] = None
+            return respond_json(start_response, {"status": "stopped"})
+
+        if path == "/set_realtime_model" and method == "POST":
+            fields = _parse_multipart(environ)
+            model = (fields.get("model") or ["arcface"])[0]
+            if model not in ("arcface", "facenet"):
+                return respond_json(
+                    start_response,
+                    {"error": f"unknown model {model}"},
+                    "400 Bad Request",
+                )
+            with state_lock:
+                state["realtime_model"] = model
+                if state["realtime"] is not None:
+                    state["realtime"].engine = registry.get(model)
+            return respond_json(start_response, {"status": "ok", "model": model})
+
+        # -- database builder --------------------------------------------
+        if path == "/database-builder":
+            return respond_html(start_response, "Database builder", _BUILDER_PAGE)
+
+        if path == "/database-builder/build" and method == "POST":
+            fields = _parse_multipart(environ)
+            dataset_dir = (fields.get("dataset_dir") or [""])[0]
+            model_type = (fields.get("model_type") or ["arcface"])[0]
+            if not dataset_dir or not os.path.isdir(dataset_dir):
+                return respond_json(
+                    start_response,
+                    {"error": f"dataset_dir not found: {dataset_dir}"},
+                    "400 Bad Request",
+                )
+            try:
+                job = builder.create_job(model_type, dataset_dir)
+            except ValueError as exc:
+                return respond_json(
+                    start_response, {"error": str(exc)}, "400 Bad Request"
+                )
+            builder.start_build(job, detector=registry.detector)
+            return respond_json(start_response, {"job_id": job.job_id})
+
+        if path.startswith("/database-builder/status/"):
+            job_id = path.rsplit("/", 1)[-1]
+            job = builder.get_job(job_id)
+            if job is None:
+                return respond_json(
+                    start_response, {"error": "job not found"}, "404 Not Found"
+                )
+            return respond_json(start_response, job.to_dict())
+
+        if path.startswith("/database-builder/download/"):
+            rel = path[len("/database-builder/download/") :]
+            full = os.path.abspath(os.path.join(download_root, rel))
+            # Path-prefix guard (reference web_app.py:1233).
+            if not full.startswith(download_root + os.sep):
+                return respond_json(
+                    start_response, {"error": "forbidden"}, "403 Forbidden"
+                )
+            if not os.path.isfile(full):
+                return respond_json(
+                    start_response, {"error": "not found"}, "404 Not Found"
+                )
+            ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+            data = open(full, "rb").read()
+            start_response(
+                "200 OK",
+                [("Content-Type", ctype), ("Content-Length", str(len(data)))],
+            )
+            return [data]
+
+        return respond_json(
+            start_response, {"error": "not found"}, "404 Not Found"
+        )
+
+    return app
+
+
+def main(argv: Optional[list[str]] = None):
+    import argparse
+    from wsgiref.simple_server import make_server
+
+    parser = argparse.ArgumentParser(description="FaceRecognition TPU web app")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--arcface-ckpt", default=None)
+    parser.add_argument("--facenet-ckpt", default=None)
+    parser.add_argument("--lbph-model", default=None)
+    parser.add_argument("--gallery", default=None)
+    args = parser.parse_args(argv)
+    registry = EngineRegistry(
+        arcface_ckpt=args.arcface_ckpt,
+        facenet_ckpt=args.facenet_ckpt,
+        lbph_model_path=args.lbph_model,
+        gallery_path=args.gallery,
+    )
+    app = create_app(registry)
+    server = make_server(args.host, args.port, app)
+    print(f"serving on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

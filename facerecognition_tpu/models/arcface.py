@@ -118,13 +118,26 @@ class ArcFaceModel(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,
+        x: Optional[jax.Array],
         labels: Optional[jax.Array] = None,
         train: bool = False,
+        return_feature_map: bool = False,
+        feature_map: Optional[jax.Array] = None,
     ):
-        feats = ResNet50Backbone(dtype=self.dtype, name="backbone")(
-            x, train=train
-        )  # (B, 2048)
+        fmap = None
+        if feature_map is not None:
+            # Grad-CAM re-entry: embed directly from a (possibly perturbed)
+            # layer4 feature map; the backbone submodule's params are simply
+            # unused on this path.
+            feats = jnp.mean(feature_map.astype(jnp.float32), axis=(1, 2))
+        elif return_feature_map:
+            feats, fmap = ResNet50Backbone(dtype=self.dtype, name="backbone")(
+                x, train=train, return_feature_map=True
+            )
+        else:
+            feats = ResNet50Backbone(dtype=self.dtype, name="backbone")(
+                x, train=train
+            )  # (B, 2048)
         feats = nn.BatchNorm(use_running_average=not train, name="bn1", **BN_KW)(
             feats
         )
@@ -138,7 +151,7 @@ class ArcFaceModel(nn.Module):
             emb
         )
         if labels is None:
-            return emb
+            return (emb, fmap) if return_feature_map else emb
         logits = ArcMarginProduct(
             num_classes=self.num_classes,
             embedding_size=self.embedding_size,

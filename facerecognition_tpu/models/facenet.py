@@ -33,14 +33,20 @@ class FaceNetModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        emb = InceptionResnetV1(
+    def __call__(self, x, train: bool = False, return_feature_map: bool = False):
+        backbone = InceptionResnetV1(
             dropout=self.dropout, dtype=self.dtype, name="backbone"
-        )(x, train=train)
+        )
+        if return_feature_map:
+            emb, fmap = backbone(x, train=train, return_feature_map=True)
+        else:
+            emb = backbone(x, train=train)
+            fmap = None
         if self.embedding_size != 512:
             emb = nn.Dense(self.embedding_size, name="projection")(emb)
         norm = jnp.linalg.norm(emb, axis=1, keepdims=True)
-        return emb / jnp.maximum(norm, 1e-12)
+        emb = emb / jnp.maximum(norm, 1e-12)
+        return (emb, fmap) if return_feature_map else emb
 
 
 def triplet_loss(

@@ -156,7 +156,7 @@ class InceptionResnetV1(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_feature_map: bool = False):
         if x.shape[1] < 71 or x.shape[2] < 71:
             # Below 71px the VALID-padded reductions produce zero-size maps
             # (silent NaNs from the empty global pool).
@@ -183,10 +183,13 @@ class InceptionResnetV1(nn.Module):
             x = Block8(scale=0.20, dtype=self.dtype, name=f"repeat_3_{i}")(x, train)
         x = Block8(no_relu=True, dtype=self.dtype, name="block8")(x, train)
 
-        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → (B, 1792)
-        x = x.astype(jnp.float32)
+        fmap = x.astype(jnp.float32)  # block8 output — activation-CAM taps
+        # this (the reference hooks block8.conv2d, explainability.py:395-515)
+        x = jnp.mean(fmap, axis=(1, 2))  # adaptive avg pool → (B, 1792)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(512, use_bias=False, name="last_linear")(x)
         # torch BatchNorm1d(512, eps=0.001, momentum=0.1)
         x = nn.BatchNorm(use_running_average=not train, name="last_bn", **BN_KW)(x)
+        if return_feature_map:
+            return x, fmap
         return x

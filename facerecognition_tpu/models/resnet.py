@@ -81,7 +81,7 @@ class ResNet50Backbone(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_feature_map: bool = False):
         x = x.astype(self.dtype)
         x = nn.Conv(
             64,
@@ -113,5 +113,10 @@ class ResNet50Backbone(nn.Module):
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)
 
-        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → (B, 2048)
-        return x.astype(jnp.float32)
+        fmap = x.astype(jnp.float32)  # (B, H/32, W/32, 2048) — layer4 output
+        pooled = jnp.mean(fmap, axis=(1, 2))  # adaptive avg pool → (B, 2048)
+        if return_feature_map:
+            # Grad-CAM taps this (the reference hooks backbone.layer4,
+            # explainability.py:21-131; here it's just a second output).
+            return pooled, fmap
+        return pooled

@@ -1,0 +1,280 @@
+"""Database-builder job system + WSGI web app tests."""
+
+import io
+import json
+import time
+
+import numpy as np
+import pytest
+
+from facerecognition_tpu.inference.database_builder import (
+    BuildJob,
+    DatabaseBuilder,
+    get_builder,
+)
+
+
+def make_dataset(tmp_path, rng, n_people=2, n_imgs=2, size=64):
+    from PIL import Image
+
+    root = tmp_path / "data"
+    for p in range(n_people):
+        d = root / f"person{p}"
+        d.mkdir(parents=True)
+        for i in range(n_imgs):
+            arr = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    return str(root)
+
+
+class TestDatabaseBuilder:
+    def test_job_lifecycle_lbph(self, tmp_path, rng):
+        data = make_dataset(tmp_path, rng)
+        builder = DatabaseBuilder(str(tmp_path / "out"))
+        job = builder.create_job("lbph", data)
+        assert job.status == "pending"
+        t = builder.start_build(job)
+        t.join(timeout=120)
+        assert job.status == "completed", job.error
+        assert job.progress == 1.0
+        assert len(job.output_files) == 2
+        d = job.to_dict()
+        assert d["progress"] == 100.0
+        assert d["elapsed_seconds"] >= 0
+
+    def test_job_failure_captured(self, tmp_path):
+        builder = DatabaseBuilder(str(tmp_path / "out"))
+        job = builder.create_job("lbph", "/nonexistent/dir")
+        builder.start_build(job).join(timeout=60)
+        assert job.status == "failed"
+        assert job.error
+
+    def test_unknown_model_type(self, tmp_path):
+        builder = DatabaseBuilder(str(tmp_path))
+        with pytest.raises(ValueError):
+            builder.create_job("resnet", ".")
+
+    def test_arcface_build_with_injected_embedder(self, tmp_path, rng):
+        from tests.test_engine import SmallEmbedder
+
+        data = make_dataset(tmp_path, rng, size=112)
+        builder = DatabaseBuilder(str(tmp_path / "out"))
+        job = builder.create_job("arcface", data)
+        builder.start_build(job, embedder=SmallEmbedder()).join(timeout=300)
+        assert job.status == "completed", job.error
+        db = np.load(job.output_files[0], allow_pickle=True).item()
+        assert set(db) == {"person0", "person1"}
+
+    def test_singleton(self):
+        assert get_builder() is get_builder()
+
+
+# ---------------------------------------------------------------------------
+# WSGI client helper
+# ---------------------------------------------------------------------------
+
+
+class Client:
+    def __init__(self, app):
+        self.app = app
+
+    def request(self, method, path, body=b"", content_type=None, accept="application/json"):
+        environ = {
+            "REQUEST_METHOD": method,
+            "PATH_INFO": path,
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body),
+            "HTTP_ACCEPT": accept,
+        }
+        if content_type:
+            environ["CONTENT_TYPE"] = content_type
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = status
+            captured["headers"] = dict(headers)
+
+        chunks = self.app(environ, start_response)
+        data = b"".join(chunks) if not captured.get("stream") else b""
+        return captured["status"], captured["headers"], data
+
+    def get_json(self, path):
+        status, headers, data = self.request("GET", path)
+        return status, json.loads(data)
+
+    def post_multipart(self, path, fields):
+        boundary = "testboundary42"
+        parts = []
+        for name, value in fields:
+            if isinstance(value, tuple):
+                filename, data = value
+                parts.append(
+                    f'--{boundary}\r\nContent-Disposition: form-data; '
+                    f'name="{name}"; filename="{filename}"\r\n'
+                    f"Content-Type: application/octet-stream\r\n\r\n".encode()
+                    + data
+                    + b"\r\n"
+                )
+            else:
+                parts.append(
+                    f'--{boundary}\r\nContent-Disposition: form-data; '
+                    f'name="{name}"\r\n\r\n{value}\r\n'.encode()
+                )
+        body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        status, headers, data = self.request(
+            "POST",
+            path,
+            body,
+            content_type=f"multipart/form-data; boundary={boundary}",
+        )
+        try:
+            return status, json.loads(data)
+        except json.JSONDecodeError:
+            return status, data
+
+
+def png_bytes(rng, size=112):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    arr = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(buf, format="PNG")
+    return arr, buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def app_and_registry(tmp_path_factory):
+    from tests.test_engine import SmallEmbedder
+    from facerecognition_tpu.apps.web_app import EngineRegistry, create_app
+    from facerecognition_tpu.inference.database_builder import DatabaseBuilder
+    from facerecognition_tpu.inference.engine import RecognitionEngine
+
+    registry = EngineRegistry()
+    # Inject a prebuilt arcface engine; facenet/lbph stay unloaded.
+    engine = RecognitionEngine(embedder=SmallEmbedder(), threshold=0.3)
+    registry._engines["arcface"] = engine
+    registry._engines["facenet"] = None
+    registry._engines["lbph"] = None
+    builder = DatabaseBuilder(str(tmp_path_factory.mktemp("dbs")))
+    app = create_app(registry, builder=builder)
+    return app, registry, engine, builder
+
+
+@pytest.mark.slow
+class TestWebApp:
+    def test_home_get(self, app_and_registry):
+        app, *_ = app_and_registry
+        status, headers, data = Client(app).request("GET", "/", accept="text/html")
+        assert status == "200 OK"
+        assert b"<form" in data
+
+    def test_recognize_post(self, app_and_registry, rng):
+        app, registry, engine, _ = app_and_registry
+        arr, png = png_bytes(rng)
+        engine.add_to_db("tester", [arr])
+        status, payload = Client(app).post_multipart(
+            "/", [("image", ("t.png", png)), ("threshold", "0.3")]
+        )
+        assert status == "200 OK"
+        res = payload["results"]
+        assert res["arcface"]["identity"] == "tester"
+        assert res["facenet"]["status"] == "error"  # model not loaded
+        assert res["lbph"]["status"] == "error"
+        assert res["arcface"]["time_ms"] > 0
+
+    def test_recognize_no_image(self, app_and_registry):
+        app, *_ = app_and_registry
+        status, payload = Client(app).post_multipart("/", [("threshold", "0.5")])
+        assert status.startswith("400")
+
+    def test_batch(self, app_and_registry, rng):
+        app, registry, engine, _ = app_and_registry
+        rng.integers(0, 256, 7)  # advance past test_recognize_post's draws
+        arr1, png1 = png_bytes(rng)
+        arr2, png2 = png_bytes(rng)
+        engine.add_to_db("b1", [arr1])
+        status, payload = Client(app).post_multipart(
+            "/batch",
+            [
+                ("model", "arcface"),
+                ("images", ("a.png", png1)),
+                ("images", ("b.png", png2)),
+            ],
+        )
+        assert status == "200 OK"
+        assert len(payload["results"]) == 2
+        assert payload["results"][0]["filename"] == "a.png"
+        assert payload["results"][0]["identity"] == "b1"
+
+    def test_builder_routes(self, app_and_registry, rng, tmp_path):
+        app, *_ = app_and_registry
+        c = Client(app)
+        # bad dir
+        status, payload = c.post_multipart(
+            "/database-builder/build",
+            [("dataset_dir", "/nope"), ("model_type", "lbph")],
+        )
+        assert status.startswith("400")
+        # good dir
+        data_dir = make_dataset(tmp_path, rng)
+        status, payload = c.post_multipart(
+            "/database-builder/build",
+            [("dataset_dir", data_dir), ("model_type", "lbph")],
+        )
+        assert status == "200 OK"
+        job_id = payload["job_id"]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            status, s = c.get_json(f"/database-builder/status/{job_id}")
+            if s["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.5)
+        assert s["status"] == "completed", s.get("error")
+        # missing job
+        status, _ = c.get_json("/database-builder/status/zzz")
+        assert status.startswith("404")
+
+    def test_download_path_guard(self, app_and_registry):
+        app, *_ = app_and_registry
+        c = Client(app)
+        status, payload = c.get_json(
+            "/database-builder/download/../../etc/passwd"
+        )
+        assert status.startswith("403") or status.startswith("404")
+
+    def test_set_realtime_model_validation(self, app_and_registry):
+        app, *_ = app_and_registry
+        status, payload = Client(app).post_multipart(
+            "/set_realtime_model", [("model", "nonsense")]
+        )
+        assert status.startswith("400")
+
+    def test_404(self, app_and_registry):
+        app, *_ = app_and_registry
+        status, _ = Client(app).get_json("/nope")
+        assert status.startswith("404")
+
+
+@pytest.mark.slow
+class TestRealtime:
+    def test_synthetic_stream_and_result(self, rng):
+        from tests.test_engine import SmallEmbedder
+        from facerecognition_tpu.apps.realtime import (
+            RealtimeRecognizer,
+            SyntheticFrameSource,
+        )
+        from facerecognition_tpu.inference.engine import RecognitionEngine
+
+        engine = RecognitionEngine(embedder=SmallEmbedder(), threshold=0.99)
+        rt = RealtimeRecognizer(
+            engine, source=SyntheticFrameSource(320, 240)
+        )
+        jpeg = rt.single_jpeg()
+        assert jpeg[:2] == b"\xff\xd8"  # JPEG magic
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if rt.result["identity"] != "...":
+                break
+            time.sleep(0.2)
+        rt.stop()
+        assert rt.result["identity"] in ("Unknown", "No face")
