@@ -521,6 +521,9 @@ def main(argv: Optional[list[str]] = None):
     import argparse
     from wsgiref.simple_server import make_server
 
+    from facerecognition_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="FaceRecognition TPU web app")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)

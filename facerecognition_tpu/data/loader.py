@@ -41,6 +41,7 @@ class BatchLoader:
         image_size: int = 112,
         n_workers: int = 8,
         n_prefetch: int = 4,
+        use_native: bool = True,
     ):
         self.index = index
         self.sampler = sampler
@@ -50,8 +51,27 @@ class BatchLoader:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._started = False
+        if use_native:
+            from facerecognition_tpu.data import native_decode
+
+            self._native = native_decode if native_decode.available() else None
+        else:
+            self._native = None
 
     def _load_batch(self, idx: np.ndarray):
+        if self._native is not None:
+            paths = [self.index.paths[i] for i in idx]
+            imgs, ok = self._native.decode_batch(
+                paths, self.image_size, self.n_workers
+            )
+            if not ok.all():
+                # PIL fallback for formats the native decoder rejects.
+                for j in np.flatnonzero(~ok):
+                    try:
+                        imgs[j] = _load_resize(paths[j], self.image_size)
+                    except (FileNotFoundError, OSError):
+                        pass
+            return imgs, self.index.labels[idx]
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(self.n_workers) as pool:

@@ -10,15 +10,41 @@ from facerecognition_tpu.inference.engine import (
 from facerecognition_tpu.ops.matcher import cosine_similarity
 from facerecognition_tpu.inference.extract_embeddings import (
     EmbedderConfig,
+    SearchIndex,
     build_db,
+    build_faiss_index,
     compute_prototypes_from_arrays,
     extract_embedding_single,
     extract_embeddings_batch,
+    extract_embeddings_from_csv,
+    full_pipeline,
     load_arcface_model,
     load_facenet_model,
+    visualize_tsne,
+)
+from facerecognition_tpu.inference.explainability import (
+    ExplainabilityEngine,
+    FaceNetExplainabilityEngine,
+    GradCAM,
+)
+from facerecognition_tpu.inference.database_builder import (
+    BuildJob,
+    DatabaseBuilder,
+    get_builder,
 )
 
 __all__ = [
+    "SearchIndex",
+    "build_faiss_index",
+    "extract_embeddings_from_csv",
+    "full_pipeline",
+    "visualize_tsne",
+    "ExplainabilityEngine",
+    "FaceNetExplainabilityEngine",
+    "GradCAM",
+    "BuildJob",
+    "DatabaseBuilder",
+    "get_builder",
     "Gallery",
     "RecognitionEngine",
     "create_engine_from_embeddings_dir",

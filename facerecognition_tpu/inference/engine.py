@@ -22,7 +22,7 @@ from facerecognition_tpu.inference.extract_embeddings import (
     load_facenet_model,
 )
 from facerecognition_tpu.ops.image import align_crop, crop_with_margin
-from facerecognition_tpu.ops.matcher import cosine_topk
+from facerecognition_tpu.ops.matcher import auto_cosine_topk
 from facerecognition_tpu.utils.imageio import load_image
 
 
@@ -180,7 +180,7 @@ class RecognitionEngine:
         if len(self.gallery) == 0:
             return [("No database", 0.0, [])] * len(embeddings)
         k_eff = min(k, len(self.gallery))
-        scores, idx = cosine_topk(
+        scores, idx = auto_cosine_topk(
             jnp.asarray(embeddings), self.gallery.matrix, k_eff
         )
         scores = np.asarray(scores)

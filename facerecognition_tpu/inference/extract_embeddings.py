@@ -209,6 +209,143 @@ def compute_prototypes_from_arrays(
     )
 
 
+def extract_embeddings_from_csv(
+    csv_path: str,
+    embedder: Embedder,
+    image_root: Optional[str] = None,
+    preprocess: Optional[Callable] = None,
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """CSV-driven extraction (reference extract_embeddings.py:446-552).
+
+    Returns (embeddings (N, D), labels (N,), label_names) — failed images
+    skipped.
+    """
+    from facerecognition_tpu.data.datasets import CSVDataset
+
+    index = CSVDataset(csv_path, image_root)
+    embs, kept = extract_embeddings_batch(index.paths, embedder, preprocess)
+    return embs, index.labels[kept], index.label_names
+
+
+class SearchIndex:
+    """Exact inner-product top-k index — the FAISS IndexFlatIP replacement
+    (reference extract_embeddings.py:595-645): a normalized device matrix +
+    one matmul + lax.top_k, with the id→label mapping attached."""
+
+    def __init__(self, embeddings: np.ndarray, labels: Optional[np.ndarray] = None):
+        from facerecognition_tpu.ops.matcher import l2_normalize
+
+        emb = np.asarray(embeddings, np.float32)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        self.matrix = jnp.asarray(emb / np.maximum(norm, 1e-12))
+        self.labels = (
+            np.asarray(labels) if labels is not None else np.arange(len(emb))
+        )
+
+    def __len__(self) -> int:
+        return int(self.matrix.shape[0])
+
+    def search(self, queries: np.ndarray, k: int = 5):
+        """Returns (scores (B, k), ids (B, k)) where ids are the attached
+        labels of the nearest rows."""
+        from facerecognition_tpu.ops.matcher import cosine_topk
+
+        k = min(k, len(self))
+        scores, idx = cosine_topk(jnp.asarray(queries), self.matrix, k)
+        return np.asarray(scores), self.labels[np.asarray(idx)]
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path, matrix=np.asarray(self.matrix), labels=self.labels
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "SearchIndex":
+        data = np.load(path if path.endswith(".npz") else path + ".npz",
+                       allow_pickle=False)
+        return cls(data["matrix"], data["labels"])
+
+
+# Back-compat alias for the reference's name.
+build_faiss_index = SearchIndex
+
+
+def visualize_tsne(
+    embeddings: np.ndarray,
+    labels: np.ndarray,
+    output_path: str,
+    max_classes: int = 20,
+    perplexity: float = 30.0,
+    seed: int = 0,
+) -> str:
+    """t-SNE embedding plot (reference extract_embeddings.py:648-711):
+    subsamples to the most frequent ``max_classes`` identities."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sklearn.manifold import TSNE
+
+    labels = np.asarray(labels)
+    classes, counts = np.unique(labels, return_counts=True)
+    top = classes[np.argsort(-counts)][:max_classes]
+    mask = np.isin(labels, top)
+    emb = np.asarray(embeddings)[mask]
+    lab = labels[mask]
+    perplexity = min(perplexity, max(len(emb) - 1, 1) / 3)
+    proj = TSNE(
+        n_components=2, perplexity=perplexity, random_state=seed, init="pca"
+    ).fit_transform(emb)
+    fig, ax = plt.subplots(figsize=(8, 8))
+    for c in top:
+        pts = proj[lab == c]
+        ax.scatter(pts[:, 0], pts[:, 1], s=8, label=str(c))
+    if len(top) <= 20:
+        ax.legend(fontsize=6, markerscale=1.5)
+    ax.set_title(f"t-SNE of {len(emb)} embeddings / {len(top)} identities")
+    d = os.path.dirname(output_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    fig.savefig(output_path, dpi=120, bbox_inches="tight")
+    import matplotlib.pyplot as plt2
+
+    plt2.close(fig)
+    return output_path
+
+
+def full_pipeline(
+    csv_path: str,
+    embedder: Embedder,
+    output_dir: str,
+    image_root: Optional[str] = None,
+    preprocess: Optional[Callable] = None,
+) -> dict:
+    """extract → prototypes → index → t-SNE (reference :838-889)."""
+    os.makedirs(output_dir, exist_ok=True)
+    embs, labels, names = extract_embeddings_from_csv(
+        csv_path, embedder, image_root, preprocess
+    )
+    np.save(os.path.join(output_dir, "embeddings.npy"), embs)
+    np.save(os.path.join(output_dir, "labels.npy"), labels)
+    protos = compute_prototypes_from_arrays(embs, labels, len(names))
+    np.save(os.path.join(output_dir, "prototypes.npy"), protos)
+    index = SearchIndex(protos, np.arange(len(names)))
+    index.save(os.path.join(output_dir, "search_index"))
+    tsne_path = None
+    if len(embs) >= 10:
+        tsne_path = visualize_tsne(
+            embs, labels, os.path.join(output_dir, "tsne.png")
+        )
+    return {
+        "n_embeddings": len(embs),
+        "n_classes": len(names),
+        "embeddings_path": os.path.join(output_dir, "embeddings.npy"),
+        "prototypes_path": os.path.join(output_dir, "prototypes.npy"),
+        "index_path": os.path.join(output_dir, "search_index.npz"),
+        "tsne_path": tsne_path,
+    }
+
+
 def build_db(
     dataset_dir: str,
     embedder: Embedder,
@@ -248,3 +385,49 @@ def build_db(
             os.makedirs(d, exist_ok=True)
         np.save(output_path, db, allow_pickle=True)
     return db
+
+
+def main(argv: Optional[list[str]] = None):
+    """CLI with db / csv / full modes (reference :891-950)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Embedding extraction")
+    parser.add_argument("--mode", choices=["db", "csv", "full"], default="db")
+    parser.add_argument("--model", choices=["arcface", "facenet"], default="arcface")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--data-dir", default=None, help="db mode: person folders")
+    parser.add_argument("--csv", default=None, help="csv/full modes")
+    parser.add_argument("--image-root", default=None)
+    parser.add_argument("--output", default="databases/out")
+    args = parser.parse_args(argv)
+
+    loader = load_arcface_model if args.model == "arcface" else load_facenet_model
+    embedder = loader(args.checkpoint)
+    if args.mode == "db":
+        if not args.data_dir:
+            parser.error("--data-dir required for db mode")
+        db = build_db(
+            args.data_dir,
+            embedder,
+            output_path=os.path.join(args.output, "face_db.npy"),
+        )
+        print(f"built gallery: {len(db)} identities → {args.output}/face_db.npy")
+    elif args.mode == "csv":
+        if not args.csv:
+            parser.error("--csv required for csv mode")
+        embs, labels, names = extract_embeddings_from_csv(
+            args.csv, embedder, args.image_root
+        )
+        os.makedirs(args.output, exist_ok=True)
+        np.save(os.path.join(args.output, "embeddings.npy"), embs)
+        np.save(os.path.join(args.output, "labels.npy"), labels)
+        print(f"extracted {len(embs)} embeddings / {len(names)} classes")
+    else:
+        if not args.csv:
+            parser.error("--csv required for full mode")
+        result = full_pipeline(args.csv, embedder, args.output, args.image_root)
+        print(result)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,25 @@ def cosine_topk(
     return jax.lax.top_k(scores, k)
 
 
+# Gallery size above which the Pallas fused matmul+top-k kernel wins (it
+# avoids materializing the (B, N) score matrix in HBM). Only on TPU.
+PALLAS_TOPK_MIN_ROWS = 200_000
+
+
+def auto_cosine_topk(
+    queries: jax.Array, gallery: jax.Array, k: int = 5
+) -> tuple[jax.Array, jax.Array]:
+    """cosine_topk that switches to the Pallas streaming kernel for big
+    galleries on TPU (see ops/pallas_topk.py)."""
+    n = gallery.shape[0]
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu and n >= PALLAS_TOPK_MIN_ROWS:
+        from facerecognition_tpu.ops.pallas_topk import pallas_cosine_topk
+
+        return pallas_cosine_topk(queries, gallery, k)
+    return cosine_topk(queries, gallery, k)
+
+
 @partial(jax.jit, static_argnums=(2,))
 def compute_prototypes(
     embeddings: jax.Array, labels: jax.Array, num_classes: int

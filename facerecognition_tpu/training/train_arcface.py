@@ -450,6 +450,10 @@ class ArcFaceTrainer:
 def main(argv: Optional[list[str]] = None):
     import argparse
 
+    from facerecognition_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     parser = argparse.ArgumentParser(description="Train ArcFace on TPU")
     parser.add_argument("--config", default=None)
     parser.add_argument("--resume", default=None, help="checkpoint tag")
