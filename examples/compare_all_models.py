@@ -1,0 +1,123 @@
+"""Cross-model comparison — script form of the reference's
+analysis_comparison_all_models.ipynb: run ArcFace, FaceNet, and LBPH over
+the same labeled test set and print a side-by-side table (accuracy, top-k,
+latency), writing a combined JSON report.
+
+Usage:
+  python examples/compare_all_models.py --data-dir /data/test \
+      --arcface-ckpt a.msgpack --facenet-ckpt f.msgpack --lbph-model lbph.npz
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data-dir", required=True)
+    parser.add_argument("--arcface-ckpt", default=None)
+    parser.add_argument("--facenet-ckpt", default=None)
+    parser.add_argument("--lbph-model", default=None)
+    parser.add_argument("--output", default="comparison.json")
+    parser.add_argument("--max-images", type=int, default=500)
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from facerecognition_tpu.data import FolderDataset
+    from facerecognition_tpu.data.loader import _load_resize
+    from facerecognition_tpu.inference.engine import RecognitionEngine
+    from facerecognition_tpu.inference.evaluate import compute_metrics
+    from facerecognition_tpu.models.lbph import LBPHModel
+    from facerecognition_tpu.ops.image import bilinear_resize, rgb_to_grayscale
+    from facerecognition_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    index = FolderDataset(args.data_dir, min_images=2)
+    n = min(len(index), args.max_images)
+    labels = index.labels[:n]
+    rows = {}
+
+    for model_type, ckpt, size in (
+        ("arcface", args.arcface_ckpt, 112),
+        ("facenet", args.facenet_ckpt, 160),
+    ):
+        images = np.stack(
+            [_load_resize(index.paths[i], size) for i in range(n)]
+        )
+        engine = RecognitionEngine(
+            model_type=model_type, checkpoint_path=ckpt, threshold=0.0
+        )
+        for c in np.unique(labels):
+            idx = np.flatnonzero(labels == c)
+            enroll = idx[: max(len(idx) // 2, 1)]
+            embs = engine.embedder.embed_uint8(images[enroll].astype(np.float32))
+            engine.gallery.add(index.label_names[int(c)], embs.mean(0))
+        t0 = time.perf_counter()
+        results = engine.recognize_batch(list(images))
+        dt = time.perf_counter() - t0
+        name_to_id = {nm: i for i, nm in enumerate(index.label_names)}
+        pred = np.asarray(
+            [name_to_id.get(r["identity"], -1) for r in results]
+        )
+        rows[model_type] = {
+            **compute_metrics(labels, pred),
+            "ms_per_face": dt / n * 1e3,
+        }
+
+    if args.lbph_model and os.path.exists(args.lbph_model):
+        lbph = LBPHModel.load(args.lbph_model)
+    else:
+        lbph = LBPHModel()
+        train_gray = []
+        train_labels = []
+        for c in np.unique(labels):
+            idx = np.flatnonzero(labels == c)[: max(1, 2)]
+            for i in idx:
+                img = _load_resize(index.paths[i], 100)
+                g = np.asarray(
+                    rgb_to_grayscale(jnp.asarray(img.astype(np.float32)))
+                )
+                train_gray.append(g)
+                train_labels.append(int(labels[i]))
+        lbph.train(np.stack(train_gray), np.asarray(train_labels))
+    gray = np.stack(
+        [
+            np.asarray(
+                bilinear_resize(
+                    rgb_to_grayscale(
+                        jnp.asarray(
+                            _load_resize(index.paths[i], 100).astype(np.float32)
+                        )
+                    ),
+                    100,
+                    100,
+                )
+            )
+            for i in range(n)
+        ]
+    )
+    t0 = time.perf_counter()
+    pred, conf = lbph.predict_batch(gray)
+    dt = time.perf_counter() - t0
+    rows["lbph"] = {
+        **compute_metrics(labels, pred),
+        "ms_per_face": dt / n * 1e3,
+    }
+
+    with open(args.output, "w") as f:
+        json.dump(rows, f, indent=2)
+    print(f"{'model':10s} {'accuracy':>9s} {'f1_macro':>9s} {'ms/face':>8s}")
+    for m, r in rows.items():
+        print(
+            f"{m:10s} {r['accuracy']:9.4f} {r['f1_macro']:9.4f} "
+            f"{r['ms_per_face']:8.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

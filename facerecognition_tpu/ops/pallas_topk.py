@@ -90,7 +90,7 @@ def pallas_cosine_topk(
     queries: jax.Array,
     gallery: jax.Array,
     k: int = 5,
-    tile: int = 2048,
+    tile: int = 2048,  # 2048*512*4 = 4.2MB/tile; 8192 OOMs VMEM (16MB) with double buffering
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused exact top-k cosine search.

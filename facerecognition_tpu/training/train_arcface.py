@@ -171,6 +171,9 @@ class ArcFaceTrainer:
         self.ckpt = CheckpointManager(
             config["checkpoint"]["dir"], config["checkpoint"]["keep_last_n"]
         )
+        from facerecognition_tpu.utils.metrics import MetricsLogger
+
+        self.metrics_logger = MetricsLogger(self.ckpt.directory)
         self.early_stopping = EarlyStopping(
             patience=config["train"]["early_stopping_patience"],
             mode="max"
@@ -358,6 +361,7 @@ class ArcFaceTrainer:
             }
             self.history.append(record)
             self._write_history()
+            self.metrics_logger.log(self.global_step, record, prefix="arcface/")
 
             metric = (
                 val_metrics["ver_acc"]

@@ -72,3 +72,18 @@ def test_chunked_batch_equals_small_batch(rng):
     one = np.asarray(affine_warp_mxu_batch(imgs[:1], ms[:1], 32, 32))
     np.testing.assert_allclose(full[0], one[0], atol=1e-3)
     assert full.shape == (18, 32, 32, 3)
+
+
+def test_mxu_resize_matches_gather_resize(rng):
+    import jax.numpy as jnp
+
+    from facerecognition_tpu.ops.image import bilinear_resize
+    from facerecognition_tpu.ops.warp_mxu import bilinear_resize_mxu_batch
+
+    x = jnp.asarray(rng.integers(0, 256, (3, 96, 80, 3)).astype(np.float32))
+    down = np.asarray(bilinear_resize_mxu_batch(x, 64, 64))
+    ref = np.asarray(bilinear_resize(x, 64, 64))
+    np.testing.assert_allclose(down, ref, atol=1e-3)
+    up = np.asarray(bilinear_resize_mxu_batch(x, 128, 144))
+    ref_up = np.asarray(bilinear_resize(x, 128, 144))
+    np.testing.assert_allclose(up, ref_up, atol=1e-3)
