@@ -8,6 +8,11 @@ Usage:
       --arcface-ckpt a.msgpack --facenet-ckpt f.msgpack --lbph-model lbph.npz
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

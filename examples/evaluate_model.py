@@ -9,6 +9,11 @@ Usage:
       --checkpoint ckpt.msgpack --output-dir eval_out
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os
