@@ -107,6 +107,22 @@ class RealtimeRecognizer:
                 time.sleep(self.min_interval - dt)
 
     def _recognize(self, frame: np.ndarray) -> dict:
+        # Fast path: one fused device dispatch when detector + gallery exist.
+        if (
+            self.detector is not None
+            and getattr(self.engine, "detector", None) is self.detector
+            and len(getattr(self.engine, "gallery", [])) > 0
+        ):
+            try:
+                res = self.engine.fused_recognize_frames(frame[None])[0]
+                return {
+                    "identity": res["identity"],
+                    "confidence": res["confidence"],
+                    "bbox": res["bbox"],
+                    "time_ms": None,
+                }
+            except (ValueError, RuntimeError):
+                pass  # fall through to the staged path
         bbox = None
         face = frame
         if self.detector is not None:

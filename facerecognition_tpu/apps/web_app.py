@@ -229,22 +229,54 @@ def gradcam_overlays(registry: EngineRegistry, image: np.ndarray) -> dict[str, s
 # ---------------------------------------------------------------------------
 
 _PAGE = """<!doctype html><html><head><title>FaceRecognition TPU</title>
-<style>body{{font-family:sans-serif;margin:2em}}nav a{{margin-right:1em}}
-.result{{border:1px solid #ccc;padding:1em;margin:1em 0}}</style></head>
-<body><nav><a href="/">Home</a><a href="/batch">Batch</a>
+<meta name=viewport content="width=device-width,initial-scale=1">
+<style>
+:root{{--bg:#0f1115;--card:#1a1d24;--line:#2a2f3a;--fg:#e8eaf0;--dim:#9aa3b2;
+--accent:#4f8ef7;--ok:#3fb56f;--warn:#e0a43b}}
+*{{box-sizing:border-box}}
+body{{font-family:system-ui,sans-serif;margin:0;background:var(--bg);color:var(--fg)}}
+nav{{display:flex;gap:1.5em;padding:1em 2em;background:var(--card);
+border-bottom:1px solid var(--line)}}
+nav a{{color:var(--dim);text-decoration:none;font-weight:600}}
+nav a:hover{{color:var(--accent)}}
+main{{max-width:960px;margin:0 auto;padding:2em}}
+h1{{font-size:1.4em}}
+form{{background:var(--card);border:1px solid var(--line);border-radius:10px;
+padding:1.2em;display:flex;gap:1em;align-items:center;flex-wrap:wrap}}
+input,select,button{{background:#22262f;color:var(--fg);
+border:1px solid var(--line);border-radius:6px;padding:.5em .8em}}
+button{{background:var(--accent);border:none;cursor:pointer;font-weight:700}}
+.result{{background:var(--card);border:1px solid var(--line);
+border-radius:10px;padding:1em 1.2em;margin:1em 0}}
+.result h3{{margin:.1em 0 .4em;font-size:1.05em}}
+.result .id{{font-size:1.2em;font-weight:700;color:var(--ok)}}
+.result .unknown{{color:var(--warn)}}
+.meta{{color:var(--dim);font-size:.85em}}
+table{{border-collapse:collapse;margin:.6em 0;width:100%}}
+td,th{{border-bottom:1px solid var(--line);padding:.35em .6em;
+text-align:left;font-size:.9em}}
+img.cam{{border-radius:8px;margin:.4em .6em .4em 0;max-width:220px}}
+pre{{background:var(--card);border:1px solid var(--line);border-radius:8px;
+padding:1em;overflow:auto}}
+</style></head>
+<body><nav><a href="/">Single image</a><a href="/batch">Batch</a>
 <a href="/realtime">Realtime</a><a href="/database-builder">Database builder</a></nav>
-<h1>{title}</h1>{body}</body></html>"""
+<main><h1>{title}</h1>{body}</main></body></html>"""
 
 _HOME_FORM = """<form method=post enctype=multipart/form-data>
-<input type=file name=image accept=image/*>
+<input type=file name=image accept=image/* required>
 <label>threshold <input name=threshold value=0.5 size=4></label>
 <label><input type=checkbox name=gradcam value=1> Grad-CAM</label>
-<button>Recognize</button></form>"""
+<button>Recognize</button></form>
+<p class=meta>Runs ArcFace, FaceNet, and LBPH side by side on one upload
+and (optionally) overlays each embedding model's class-activation map.</p>"""
 
 _BATCH_FORM = """<form method=post enctype=multipart/form-data>
-<input type=file name=images accept=image/* multiple>
+<input type=file name=images accept=image/* multiple required>
 <select name=model><option>arcface</option><option>facenet</option>
-<option>lbph</option></select><button>Recognize batch</button></form>"""
+<option>lbph</option></select><button>Recognize batch</button></form>
+<p class=meta>All uploads go through ONE batched device pipeline
+(the reference loops images one by one).</p>"""
 
 _REALTIME_PAGE = """<img src="/video_feed" width=640>
 <pre id=r></pre><script>
@@ -347,19 +379,42 @@ def create_app(
             if (fields.get("gradcam") or ["0"])[0] == "1":
                 payload["gradcam"] = gradcam_overlays(registry, image)
             if "text/html" in environ.get("HTTP_ACCEPT", ""):
-                rows = "".join(
-                    f"<div class=result><b>{m}</b>: {r.get('identity')} "
-                    f"({r.get('confidence', 0):.3f}) "
-                    f"[{r.get('time_ms', 0):.1f} ms]</div>"
-                    for m, r in results.items()
-                )
+                cards = []
+                for m, r in results.items():
+                    ident = r.get("identity", "?")
+                    cls = "id unknown" if ident in ("Unknown", "No face") else "id"
+                    topk_rows = "".join(
+                        f"<tr><td>{n}</td><td>{s:.4f}</td></tr>"
+                        for n, s in r.get("top_k", [])[:5]
+                    )
+                    table = (
+                        f"<table><tr><th>identity</th><th>score</th></tr>"
+                        f"{topk_rows}</table>"
+                        if topk_rows
+                        else ""
+                    )
+                    msg = (
+                        f"<div class=meta>{r['message']}</div>"
+                        if r.get("message")
+                        else ""
+                    )
+                    cards.append(
+                        f"<div class=result><h3>{m}</h3>"
+                        f"<span class='{cls}'>{ident}</span> "
+                        f"<span class=meta>confidence "
+                        f"{r.get('confidence', 0):.4f} · "
+                        f"{r.get('time_ms', 0):.1f} ms</span>"
+                        f"{msg}{table}</div>"
+                    )
                 cams = "".join(
-                    f"<div><b>{m} CAM</b><br>"
-                    f'<img src="data:image/png;base64,{b64}"></div>'
+                    f"<div class=result><h3>{m} class activation</h3>"
+                    f'<img class=cam src="data:image/png;base64,{b64}"></div>'
                     for m, b64 in payload.get("gradcam", {}).items()
                 )
                 return respond_html(
-                    start_response, "Results", _HOME_FORM + rows + cams
+                    start_response,
+                    "Results",
+                    _HOME_FORM + "".join(cards) + cams,
                 )
             return respond_json(start_response, payload)
 
