@@ -69,6 +69,19 @@ class FaceDetector:
         self.max_faces = max_faces
 
         self.net = BlazeFaceNet(dtype=dtype)
+        if weights is None and input_size == 128:
+            # Ship-with-repo checkpoint (synthetic-face pretraining,
+            # training/train_detector.py) so detect() works out of the box;
+            # train on a real face dataset for production accuracy.
+            default = os.path.join(
+                os.path.dirname(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                ),
+                "assets",
+                "detector_synthetic_128.msgpack",
+            )
+            if os.path.exists(default):
+                weights = default
         if weights is None:
             self.variables = self.net.init(
                 jax.random.PRNGKey(0),
