@@ -10,7 +10,7 @@ the whole embed+match path is jitted with batch bucketing.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Sequence, Union
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

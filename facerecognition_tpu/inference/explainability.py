@@ -17,7 +17,7 @@ Heatmap/overlay utilities mirror :134-173 (jet colormap, alpha blend).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

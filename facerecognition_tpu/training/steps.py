@@ -16,7 +16,7 @@ all-reduce over ICI automatically. No explicit collectives needed here.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax
 import jax

@@ -13,8 +13,7 @@ pip models); a trainable TPU detector needs one. This module provides:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
