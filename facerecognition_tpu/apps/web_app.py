@@ -586,6 +586,12 @@ def main(argv: Optional[list[str]] = None):
     parser.add_argument("--facenet-ckpt", default=None)
     parser.add_argument("--lbph-model", default=None)
     parser.add_argument("--gallery", default=None)
+    parser.add_argument(
+        "--warmup",
+        action="store_true",
+        help="pre-build engines and jit-compile before serving "
+        "(first-request latency otherwise pays model init + compile)",
+    )
     args = parser.parse_args(argv)
     registry = EngineRegistry(
         arcface_ckpt=args.arcface_ckpt,
@@ -594,6 +600,17 @@ def main(argv: Optional[list[str]] = None):
         gallery_path=args.gallery,
     )
     app = create_app(registry)
+    if args.warmup:
+        import numpy as _np
+
+        for m in ("arcface", "facenet"):
+            eng = registry.get(m)
+            if eng is not None:
+                size = eng.embedder.config.input_size
+                eng.embedder.embed_uint8(
+                    _np.zeros((1, size, size, 3), _np.float32)
+                )
+                print(f"warmed {m}")
     server = make_server(args.host, args.port, app)
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()
