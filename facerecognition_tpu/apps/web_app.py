@@ -175,12 +175,13 @@ def recognize_with_model(registry: EngineRegistry, model_type: str, image: np.nd
         size = 100
         gray = np.asarray(bilinear_resize(jnp.asarray(gray), size, size))
         label, conf = engine.predict(gray)
+        topk = engine.predict_topk(gray, k=5)
         result = {
             "model": model_type,
             "status": "success",
             "identity": str(label) if label >= 0 else "Unknown",
             "confidence": conf,  # LBPH: distance, lower = better
-            "top_k": [],
+            "top_k": [(str(l), d) for l, d in topk],
         }
     else:
         res = engine.recognize(image)

@@ -207,6 +207,32 @@ class LBPHModel:
         label = int(self.labels[best]) if conf < self.threshold else -1
         return label, conf
 
+    def predict_topk(self, image, k: int = 5) -> list[tuple[int, float]]:
+        """Top-k identities by min distance over each identity's samples.
+
+        The reference web app fakes LBPH top-k by re-predicting one sample
+        image per identity from disk, capped at 30 ids (web_app.py:628-701);
+        here it's exact and free: we already have every training histogram,
+        so per-identity best distance is one segment-min.
+        """
+        if self.histograms is None:
+            raise RuntimeError("model not trained")
+        feat = lbph_features(
+            jnp.asarray(np.asarray(image, np.float32)),
+            self.radius,
+            self.neighbors,
+            self.grid_x,
+            self.grid_y,
+        )
+        dists = np.asarray(chi2_alt_distances(feat, jnp.asarray(self.histograms)))
+        best: dict[int, float] = {}
+        for label, d in zip(self.labels, dists):
+            l = int(label)
+            if l not in best or d < best[l]:
+                best[l] = float(d)
+        ranked = sorted(best.items(), key=lambda t: t[1])
+        return ranked[:k]
+
     def predict_batch(self, images) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized prediction: (labels, confidences) for a batch."""
         if self.histograms is None:

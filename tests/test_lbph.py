@@ -156,3 +156,17 @@ class TestLBPHModel:
         assert len(model.labels) == len(labels)
         pred, _ = model.predict(images[12])
         assert pred == labels[12]
+
+    def test_predict_topk(self, rng):
+        images, labels = _synthetic_faces(rng)
+        model = LBPHModel()
+        model.train(images, labels)
+        topk = model.predict_topk(images[0], k=3)
+        assert len(topk) == 3
+        assert topk[0][0] == labels[0]  # exact match wins
+        assert topk[0][1] < 1e-5
+        # distances sorted ascending
+        ds = [d for _, d in topk]
+        assert ds == sorted(ds)
+        # k > n_identities clips
+        assert len(model.predict_topk(images[0], k=99)) == 3
