@@ -48,7 +48,7 @@ def build_pipeline():
     def one_batch(frames, gallery):
         # --- detect: resize → BlazeFace forward → decode + NMS ------------
         h = frames.shape[1]
-        small = bilinear_resize_mxu_batch(frames, DET_SIZE, DET_SIZE)
+        small = bilinear_resize_mxu_batch(frames, DET_SIZE, DET_SIZE, True)
         raw = det_net.apply(det_vars, small / 127.5 - 1.0)
         boxes, lms, det_scores, valid = detect_faces_batch(
             raw, anchors, 0.3, DET_SIZE, 4
@@ -57,7 +57,7 @@ def build_pipeline():
         # warp samples inside the frame regardless of detector training)
         lm = jnp.clip(lms[:, 0] * (h / DET_SIZE), 0.0, h - 1.0)  # (B, 5, 2)
         # --- align → embed → match ----------------------------------------
-        aligned = align_crop_mxu_batch(frames, lm, 112)
+        aligned = align_crop_mxu_batch(frames, lm, 112, True)
         x = normalize_imagenet_style(aligned)
         emb = model.apply(variables, x)
         emb = l2_normalize(emb.astype(jnp.float32))

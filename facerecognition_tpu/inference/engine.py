@@ -220,7 +220,7 @@ class RecognitionEngine:
 
         @functools.partial(jax.jit, static_argnums=())
         def fused(det_vars, emb_vars, gallery, frames):
-            small = bilinear_resize_mxu_batch(frames, det_size, det_size)
+            small = bilinear_resize_mxu_batch(frames, det_size, det_size, True)
             raw = det.net.apply(det_vars, small / 127.5 - 1.0)
             boxes, lms, det_scores, valid = jax.vmap(
                 lambda r: detect_faces(
@@ -231,7 +231,7 @@ class RecognitionEngine:
                 [w / det_size, h / det_size], jnp.float32
             )
             lm = jnp.clip(lm, 0.0, jnp.array([w - 1.0, h - 1.0]))
-            aligned = align_crop_mxu_batch(frames, lm, size)
+            aligned = align_crop_mxu_batch(frames, lm, size, True)
             x = normalize_imagenet_style(aligned)
             emb = self.embedder.model.apply(emb_vars, x)
             emb = emb / jnp.maximum(
