@@ -12,8 +12,16 @@ from facerecognition_tpu.models.arcface import (
 from facerecognition_tpu.models.inception_resnet_v1 import InceptionResnetV1
 from facerecognition_tpu.models.facenet import FaceNetModel, triplet_loss
 from facerecognition_tpu.models.lbph import LBPHModel
+from facerecognition_tpu.models.mobilefacenet import (
+    MobileFaceNet,
+    MobileFaceNetArcFace,
+)
+from facerecognition_tpu.models.detector_net import BlazeFaceNet
 
 __all__ = [
+    "MobileFaceNet",
+    "MobileFaceNetArcFace",
+    "BlazeFaceNet",
     "ResNet50Backbone",
     "ArcFaceModel",
     "ArcMarginProduct",
