@@ -57,15 +57,18 @@ def arc_margin_logits(
     )
     sine = jnp.sqrt(jnp.clip(1.0 - cosine**2, 1e-7, 1.0))
 
-    cos_m = math.cos(margin)
-    sin_m = math.sin(margin)
+    # jnp trig (not math.*) so ``margin`` may be a traced scalar — this is
+    # what lets trainers ramp the margin across epochs without recompiling.
+    margin = jnp.asarray(margin, jnp.float32)
+    cos_m = jnp.cos(margin)
+    sin_m = jnp.sin(margin)
     phi = cosine * cos_m - sine * sin_m  # cos(θ + m)
 
     if easy_margin:
         phi = jnp.where(cosine > 0, phi, cosine)
     else:
-        th = math.cos(math.pi - margin)
-        mm = math.sin(math.pi - margin) * margin
+        th = jnp.cos(math.pi - margin)
+        mm = jnp.sin(math.pi - margin) * margin
         phi = jnp.where(cosine > th, phi, cosine - mm)
 
     one_hot = jax.nn.one_hot(labels, weight.shape[0], dtype=cosine.dtype)
@@ -82,7 +85,7 @@ class ArcMarginProduct(nn.Module):
     easy_margin: bool = False
 
     @nn.compact
-    def __call__(self, embeddings, labels):
+    def __call__(self, embeddings, labels, margin_override=None):
         weight = self.param(
             "weight",
             nn.initializers.xavier_uniform(),
@@ -94,7 +97,7 @@ class ArcMarginProduct(nn.Module):
             weight,
             labels,
             scale=self.scale,
-            margin=self.margin,
+            margin=self.margin if margin_override is None else margin_override,
             easy_margin=self.easy_margin,
         )
 
@@ -123,6 +126,7 @@ class ArcFaceModel(nn.Module):
         train: bool = False,
         return_feature_map: bool = False,
         feature_map: Optional[jax.Array] = None,
+        margin_override: Optional[jax.Array] = None,
     ):
         fmap = None
         if feature_map is not None:
@@ -159,7 +163,7 @@ class ArcFaceModel(nn.Module):
             margin=self.margin,
             easy_margin=self.easy_margin,
             name="arcface",
-        )(emb, labels)
+        )(emb, labels, margin_override=margin_override)
         return logits, emb
 
 

@@ -16,7 +16,7 @@ all-reduce over ICI automatically. No explicit collectives needed here.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import flax
 import jax
@@ -68,15 +68,20 @@ def make_arcface_train_step(
     model: ArcFaceModel,
     label_smoothing: float = 0.1,
     mixup_alpha: float = 0.0,
+    margin_schedule: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted ArcFace train step.
 
     step(state, images, labels, rng) -> (state, metrics) where metrics has
     loss and train_acc (pure-cosine accuracy against the margin weights —
     reference train_arcface.py:639-649 computes accuracy WITHOUT the margin).
+
+    ``margin_schedule``: optional fn(step) → margin (traced scalar ok) —
+    ramping the angular margin stabilizes early ArcFace training; the
+    schedule runs inside the jit, so it never triggers recompiles.
     """
 
-    def loss_fn(params, batch_stats, images, labels, rng):
+    def loss_fn(params, batch_stats, images, labels, rng, margin_override):
         rng_drop, rng_mix = jax.random.split(rng)
         use_mixup = mixup_alpha > 0.0
         if use_mixup:
@@ -90,6 +95,7 @@ def make_arcface_train_step(
             train=True,
             mutable=["batch_stats"],
             rngs={"dropout": rng_drop},
+            margin_override=margin_override,
         )
         loss = softmax_cross_entropy(logits, labels, label_smoothing)
         if use_mixup:
@@ -107,9 +113,12 @@ def make_arcface_train_step(
         return loss, (mutated["batch_stats"], acc)
 
     def step(state: ArcFaceTrainState, images, labels, rng):
+        margin_override = (
+            margin_schedule(state.step) if margin_schedule is not None else None
+        )
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_stats, acc)), grads = grad_fn(
-            state.params, state.batch_stats, images, labels, rng
+            state.params, state.batch_stats, images, labels, rng, margin_override
         )
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         metrics = {

@@ -83,6 +83,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "grad_clip": 5.0,
         "label_smoothing": 0.1,
         "mixup_alpha": 0.0,
+        "margin_warmup_epochs": 0,  # >0: ramp margin from margin_start
+        "margin_start": 0.0,
         "early_stopping_patience": 15,
         "early_stopping_metric": "ver_acc",  # ver_acc | val_loss
         "seed": 0,
@@ -255,10 +257,23 @@ class ArcFaceTrainer:
             tx=tx,
         )
         aug_tier = self.config["data"]["augmentation"]
+        margin_schedule = None
+        if t.get("margin_warmup_epochs", 0) > 0:
+            import jax.numpy as _jnp
+
+            m_final = self.config["model"]["margin"]
+            m_start = t.get("margin_start", 0.0)
+            warm_steps = t["margin_warmup_epochs"] * spe
+
+            def margin_schedule(step):
+                frac = _jnp.clip(step.astype(_jnp.float32) / warm_steps, 0, 1)
+                return m_start + frac * (m_final - m_start)
+
         raw_step = make_arcface_train_step(
             self.model,
             label_smoothing=t["label_smoothing"],
             mixup_alpha=t["mixup_alpha"],
+            margin_schedule=margin_schedule,
         )
 
         def step_with_aug(state, images_u8, labels, rng):

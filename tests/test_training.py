@@ -351,3 +351,44 @@ class TestArcFaceLearns:
             accs.append(float(metrics["train_acc"]))
         assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
         assert np.mean(accs[-5:]) > np.mean(accs[:5])
+
+
+class TestMarginSchedule:
+    def test_scheduled_margin_step(self, rng):
+        """Margin ramp inside the jit: step runs, and margin=0 at step 0
+        reproduces the no-margin logits."""
+        import optax
+
+        from facerecognition_tpu.models.arcface import ArcFaceModel, arc_margin_logits
+        from facerecognition_tpu.training.steps import (
+            ArcFaceTrainState,
+            make_arcface_train_step,
+        )
+
+        model = ArcFaceModel(num_classes=4, embedding_size=32, margin=0.5)
+        v = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, 56, 56, 3)),
+            labels=jnp.zeros((2,), jnp.int32),
+        )
+        state = ArcFaceTrainState.create(
+            apply_fn=model.apply,
+            params=v["params"],
+            batch_stats=v["batch_stats"],
+            tx=optax.sgd(1e-3),
+        )
+        sched = lambda step: jnp.clip(step.astype(jnp.float32) / 10.0, 0, 1) * 0.5
+        step = jax.jit(make_arcface_train_step(model, 0.0, 0.0, sched))
+        imgs = jnp.asarray(rng.normal(size=(4, 56, 56, 3)).astype(np.float32))
+        labels = jnp.asarray([0, 1, 2, 3])
+        s1, m1 = step(state, imgs, labels, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m1["loss"]))
+        # traced margin matches static margin in the pure function
+        emb = rng.normal(size=(3, 8)).astype(np.float32)
+        w = rng.normal(size=(5, 8)).astype(np.float32)
+        lab = jnp.asarray([0, 1, 2])
+        a = arc_margin_logits(jnp.asarray(emb), jnp.asarray(w), lab, 64.0, 0.3)
+        b = arc_margin_logits(
+            jnp.asarray(emb), jnp.asarray(w), lab, 64.0, jnp.float32(0.3)
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
