@@ -165,3 +165,21 @@ class TestShardedGallery:
         sg.set_all([f"i{k}" for k in range(n)], mat)
         scores, idx = sg.topk(mat[:2], k=5)
         assert (idx < n).all()
+
+
+class TestEmbedderBuckets:
+    def test_batch_larger_than_biggest_bucket(self, embedder, rng):
+        """n > 512 pads to the next multiple of 512 and round-trips."""
+        from facerecognition_tpu.inference.extract_embeddings import _bucket
+
+        assert _bucket(1) == 1 and _bucket(2) == 8
+        assert _bucket(513) == 1024
+        imgs = rng.integers(0, 256, (5, 112, 112, 3)).astype(np.float32)
+        out5 = embedder.embed_uint8(imgs)
+        out1 = embedder.embed_uint8(imgs[:1])
+        assert out5.shape == (5, 512)
+        np.testing.assert_allclose(out5[0], out1[0], atol=1e-4)
+
+    def test_empty_batch(self, embedder):
+        out = embedder.embed_uint8(np.zeros((0, 112, 112, 3), np.float32))
+        assert out.shape == (0, 512)
