@@ -6,7 +6,11 @@ torch.distributed anywhere); this layer is the TPU-native scaling design —
 ``jax.sharding.Mesh`` over ICI, XLA collectives, no NCCL/MPI.
 """
 
-from facerecognition_tpu.parallel.mesh import create_mesh, local_mesh
+from facerecognition_tpu.parallel.mesh import (
+    create_mesh,
+    local_mesh,
+    resolve_data_mesh,
+)
 from facerecognition_tpu.parallel.sharding import (
     ShardedGallery,
     replicate,
@@ -17,6 +21,7 @@ from facerecognition_tpu.parallel.sharding import (
 __all__ = [
     "create_mesh",
     "local_mesh",
+    "resolve_data_mesh",
     "ShardedGallery",
     "replicate",
     "shard_batch",

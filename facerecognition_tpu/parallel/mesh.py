@@ -44,3 +44,22 @@ def create_mesh(
 def local_mesh(axis: str = "data") -> Mesh:
     """1-D mesh over all local devices (the common single-host case)."""
     return create_mesh(**{axis: -1})
+
+
+def resolve_data_mesh(num_devices, batch_size: int) -> Optional[Mesh]:
+    """Resolve a trainer config knob into a ``data`` mesh (or None).
+
+    ``num_devices``: ``"auto"`` → all local devices; an int → at most that
+    many; None/0/1 → data parallelism off. The device count is reduced to
+    the largest value that divides ``batch_size`` so every shard gets an
+    equal slice (XLA requires even sharding of the batch axis).
+    """
+    if num_devices in (None, 0, 1, False):
+        return None
+    avail = jax.devices()
+    n = len(avail) if num_devices == "auto" else min(int(num_devices), len(avail))
+    while n > 1 and batch_size % n:
+        n -= 1
+    if n <= 1:
+        return None
+    return create_mesh(avail[:n], data=n)

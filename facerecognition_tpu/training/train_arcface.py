@@ -9,9 +9,11 @@ with keep_last_n, early stopping, history JSON, resume incl. optimizer/
 controller state with auto-extend epochs.
 
 TPU-first differences: the whole step (augment → forward → loss → grads →
-all-reduce → update) is ONE jitted function over a ``data``-sharded batch;
-augmentation runs on-device; no GradScaler (bf16/f32 on TPU needs no loss
-scaling — AMP GradScaler is a CUDA fp16 artifact).
+all-reduce → update) is ONE jitted function over a ``data``-sharded batch —
+``train.num_devices`` ("auto" by default) builds a ``data`` mesh, params are
+replicated, each batch is sharded over the axis, and XLA inserts the grad
+all-reduce over ICI; augmentation runs on-device; no GradScaler (bf16/f32 on
+TPU needs no loss scaling — AMP GradScaler is a CUDA fp16 artifact).
 """
 
 from __future__ import annotations
@@ -86,7 +88,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "margin_warmup_epochs": 0,  # >0: ramp margin from margin_start
         "margin_start": 0.0,
         "early_stopping_patience": 15,
-        "early_stopping_metric": "ver_acc",  # ver_acc | val_loss
+        "early_stopping_metric": "ver_acc",  # ver_acc | val_loss | train_loss
+        "plateau_factor": 0.1,
+        "plateau_patience": 5,
+        "num_devices": "auto",  # data-parallel device count; 1 disables
         "seed": 0,
     },
     "eval": {"num_pairs": 2000, "batch_size": 256},
@@ -166,7 +171,13 @@ class ArcFaceTrainer:
         self.history: list[dict] = []
         self.epoch = 0
         self.global_step = 0
-        self.best_metric = -np.inf
+        # Mode-aware best tracking: ver_acc is maximized, losses minimized.
+        self.metric_mode = (
+            "max"
+            if config["train"]["early_stopping_metric"] == "ver_acc"
+            else "min"
+        )
+        self.best_metric = -np.inf if self.metric_mode == "max" else np.inf
         self._setup_data()
         self._setup_model()
         self._setup_optimizer()
@@ -178,11 +189,13 @@ class ArcFaceTrainer:
         self.metrics_logger = MetricsLogger(self.ckpt.directory)
         self.early_stopping = EarlyStopping(
             patience=config["train"]["early_stopping_patience"],
-            mode="max"
-            if config["train"]["early_stopping_metric"] == "ver_acc"
-            else "min",
+            mode=self.metric_mode,
         )
-        self.plateau = ReduceOnPlateau()
+        self.plateau = ReduceOnPlateau(
+            factor=config["train"]["plateau_factor"],
+            patience=config["train"]["plateau_patience"],
+            mode=self.metric_mode,
+        )
 
     # -- setup --------------------------------------------------------------
 
@@ -245,6 +258,10 @@ class ArcFaceTrainer:
         chain = [optax.clip_by_global_norm(t["grad_clip"]), base]
         if opt_name == "sgd" and t["weight_decay"]:
             chain.insert(1, optax.add_decayed_weights(t["weight_decay"]))
+        if t["schedule"] == "plateau":
+            # Host-side ReduceOnPlateau controller scales the constant base
+            # LR by writing into this injected hyperparam each epoch.
+            chain.append(optax.inject_hyperparams(optax.scale)(step_size=1.0))
         tx = optax.chain(*chain)
         ratio = self.config["model"]["freeze_ratio"]
         if ratio > 0:
@@ -256,6 +273,12 @@ class ArcFaceTrainer:
             batch_stats=self.variables["batch_stats"],
             tx=tx,
         )
+        # Data-parallel mesh: replicate state, shard batches (train.num_devices).
+        from facerecognition_tpu.parallel import replicate, resolve_data_mesh
+
+        self.mesh = resolve_data_mesh(t.get("num_devices", 1), t["batch_size"])
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
         aug_tier = self.config["data"]["augmentation"]
         margin_schedule = None
         if t.get("margin_warmup_epochs", 0) > 0:
@@ -310,6 +333,14 @@ class ArcFaceTrainer:
             n_workers=d["num_workers"],
         )
 
+    def _device_batch(self, array: np.ndarray):
+        """Shard a host batch over the data mesh (or plain device_put)."""
+        if self.mesh is not None:
+            from facerecognition_tpu.parallel import shard_batch
+
+            return shard_batch(jnp.asarray(array), self.mesh)
+        return jnp.asarray(array)
+
     def train_epoch(self) -> dict:
         loader = self._make_loader()
         spe = self._steps_per_epoch()
@@ -322,8 +353,8 @@ class ArcFaceTrainer:
             rng, sub = jax.random.split(rng)
             self.state, metrics = self._train_step(
                 self.state,
-                jnp.asarray(images, jnp.float32),
-                jnp.asarray(labels),
+                self._device_batch(images.astype(np.float32)),
+                self._device_batch(labels),
                 sub,
             )
             self.global_step += 1
@@ -360,7 +391,24 @@ class ArcFaceTrainer:
         ver_acc, thr = compute_verification_accuracy(
             embeddings, labels, e["num_pairs"], self.config["train"]["seed"]
         )
-        return {"ver_acc": ver_acc, "ver_threshold": thr}
+        # Real validation loss: CE over margin-free scaled-cosine logits
+        # (the margin is a training-only perturbation; val classification
+        # uses the same pure-cosine logits the reference's accuracy does).
+        w = np.asarray(
+            jax.device_get(self.state.params["arcface"]["weight"])
+        )
+        w = w / np.maximum(np.linalg.norm(w, axis=1, keepdims=True), 1e-12)
+        logits = self.config["model"]["scale"] * embeddings @ w.T
+        logits -= logits.max(axis=1, keepdims=True)
+        logp = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+        val_loss = float(-logp[np.arange(len(labels)), labels].mean())
+        val_acc = float((logits.argmax(axis=1) == labels).mean())
+        return {
+            "ver_acc": ver_acc,
+            "ver_threshold": thr,
+            "val_loss": val_loss,
+            "val_acc": val_acc,
+        }
 
     def train(self) -> list[dict]:
         t = self.config["train"]
@@ -378,14 +426,27 @@ class ArcFaceTrainer:
             self._write_history()
             self.metrics_logger.log(self.global_step, record, prefix="arcface/")
 
-            metric = (
-                val_metrics["ver_acc"]
-                if t["early_stopping_metric"] == "ver_acc"
-                else train_metrics["train_loss"]
+            name = t["early_stopping_metric"]
+            if name == "ver_acc":
+                metric = val_metrics["ver_acc"]
+            elif name == "val_loss":
+                metric = val_metrics["val_loss"]
+            elif name == "train_loss":
+                metric = train_metrics["train_loss"]
+            else:
+                raise ValueError(f"unknown early_stopping_metric {name!r}")
+            improved = (
+                metric > self.best_metric
+                if self.metric_mode == "max"
+                else metric < self.best_metric
             )
-            if metric > self.best_metric:
+            if improved:
                 self.best_metric = metric
                 self.save_checkpoint("best")
+            if t["schedule"] == "plateau":
+                record["lr_scale"] = self._apply_plateau_scale(
+                    self.plateau.update(metric)
+                )
             self.save_checkpoint("last")
             if ck["save_every_epochs"] and (
                 (self.epoch + 1) % ck["save_every_epochs"] == 0
@@ -395,6 +456,29 @@ class ArcFaceTrainer:
             if self.early_stopping(metric):
                 break
         return self.history
+
+    def _apply_plateau_scale(self, scale: float) -> float:
+        """Write the plateau LR scale into the injected optax hyperparam."""
+
+        def find_inject(s):
+            if hasattr(s, "hyperparams"):
+                return s
+            if isinstance(s, (tuple, list)):
+                for x in s:
+                    r = find_inject(x)
+                    if r is not None:
+                        return r
+            inner = getattr(s, "inner_state", None)
+            return find_inject(inner) if inner is not None else None
+
+        st = find_inject(self.state.opt_state)
+        if st is None:  # schedule != plateau → no injected scale in the chain
+            return scale
+        old = st.hyperparams["step_size"]
+        st.hyperparams["step_size"] = jax.device_put(
+            jnp.asarray(scale, old.dtype), old.sharding
+        )
+        return scale
 
     # -- persistence --------------------------------------------------------
 
@@ -451,9 +535,15 @@ class ArcFaceTrainer:
             else tree["opt_state"],
             step=tree["step"],
         )
+        if self.mesh is not None:
+            from facerecognition_tpu.parallel import replicate
+
+            self.state = replicate(self.state, self.mesh)
         self.epoch = meta.get("epoch", 0) + 1
         self.global_step = meta.get("global_step", 0)
-        self.best_metric = meta.get("best_metric", -np.inf)
+        self.best_metric = meta.get(
+            "best_metric", -np.inf if self.metric_mode == "max" else np.inf
+        )
         self.history = meta.get("history", [])
         if meta.get("early_stopping"):
             self.early_stopping.load_state_dict(meta["early_stopping"])

@@ -6,6 +6,9 @@ reference's two-pass epoch (no-grad mining forward + grad forward,
 from the P×K sampler; the identity-overlap guard raises before training
 (facenet_dataloader.py:287-339 contract); best-on-val-loss checkpointing,
 early stopping, history JSON, and triplet d(a,p)/d(a,n) metrics carry over.
+
+Data parallelism: ``train.num_devices`` ("auto" default) builds a ``data``
+mesh; params are replicated and each P×K batch is sharded over the axis.
 """
 
 from __future__ import annotations
@@ -65,6 +68,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "margin": 0.5,
         "mining": "semi_hard",  # semi_hard | batch_hard | random
         "early_stopping_patience": 8,
+        "num_devices": "auto",  # data-parallel device count; 1 disables
         "seed": 0,
     },
     "eval": {"num_pairs": 1000, "batch_size": 128},
@@ -133,6 +137,13 @@ class FaceNetTrainer:
             batch_stats=variables["batch_stats"],
             tx=tx,
         )
+        from facerecognition_tpu.parallel import replicate, resolve_data_mesh
+
+        self.mesh = resolve_data_mesh(
+            t.get("num_devices", 1), t["p_identities"] * t["k_images"]
+        )
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
         raw_step = make_facenet_train_step(
             self.model, margin=t["margin"], mining=t["mining"]
         )
@@ -167,6 +178,20 @@ class FaceNetTrainer:
             len(self.train_index) // per_batch, 1
         )
 
+    def _device_batch(self, array: np.ndarray):
+        """Shard a host batch over the data mesh (or plain device_put).
+
+        GSPMD keeps mining semantics identical to single-device: the miner's
+        full BxB distance matrix is computed across shards by XLA-inserted
+        collectives, so sharding the P×K batch never changes which triplets
+        are mined.
+        """
+        if self.mesh is not None:
+            from facerecognition_tpu.parallel import shard_batch
+
+            return shard_batch(jnp.asarray(array), self.mesh)
+        return jnp.asarray(array)
+
     def train_epoch(self) -> dict:
         c = self.config
         t = c["train"]
@@ -193,8 +218,8 @@ class FaceNetTrainer:
             rng, sub = jax.random.split(rng)
             self.state, metrics = self._train_step(
                 self.state,
-                jnp.asarray(images, jnp.float32),
-                jnp.asarray(labels),
+                self._device_batch(images.astype(np.float32)),
+                self._device_batch(labels),
                 sub,
             )
             losses.append(float(metrics["loss"]))
