@@ -81,6 +81,11 @@ class EngineRegistry:
                 )
 
                 ckpt = self.config[f"{model_type}_ckpt"]
+                if not ckpt or not os.path.exists(ckpt):
+                    # No trained weights configured → degrade to the
+                    # reference's "Model not loaded" instead of serving
+                    # confident-looking identities from a random-init net.
+                    return None
                 engine = RecognitionEngine(
                     model_type=model_type,
                     checkpoint_path=ckpt,

@@ -57,6 +57,12 @@ def _convert_entry(flat_key: str, value: np.ndarray):
     if leaf == "running_var":
         return ("batch_stats", mods + ["var"], value)
     if leaf == "weight":
+        if mods and mods[-1] == "arcface":
+            # ArcMargin head: the flax param is literally named 'weight'
+            # with torch's (C, D) layout — no rename, no transpose
+            # (arc_margin_logits normalizes rows; transposing silently
+            # dropped the margin head from ported checkpoints).
+            return ("params", mods + ["weight"], value)
         if value.ndim == 4:  # conv OIHW → HWIO
             return ("params", mods + ["kernel"], value.transpose(2, 3, 1, 0))
         if value.ndim == 2:  # linear OI → IO

@@ -41,6 +41,7 @@ def _topk_tile_kernel(
     *,
     k: int,
     tile: int,
+    n_real: int,
 ):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -60,6 +61,11 @@ def _topk_tile_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1).astype(jnp.float32)
         + base
     )
+
+    # Padding rows (index >= n_real) must lose to ANY real score — a zero
+    # vector's 0 cosine would otherwise beat negative real cosines and
+    # evict real candidates from the running top-k irrecoverably.
+    scores = jnp.where(tile_idx < float(n_real), scores, NEG_INF)
 
     comb_s = jnp.concatenate([top_s[:], scores], axis=1)      # (B, K+T)
     comb_i = jnp.concatenate([top_i[:], tile_idx], axis=1)
@@ -116,7 +122,7 @@ def pallas_cosine_topk(
     n_padded = n + pad
     grid = n_padded // tile
 
-    kernel = functools.partial(_topk_tile_kernel, k=k, tile=tile)
+    kernel = functools.partial(_topk_tile_kernel, k=k, tile=tile, n_real=n)
     out_s, out_i = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -143,12 +149,10 @@ def pallas_cosine_topk(
         ),
         interpret=interpret,
     )(q, g)
-    # Padding rows have zero vectors → score 0; if they sneak into the
-    # top-k of a short gallery, mask them out.
-    if pad:
-        valid = out_i < n
-        out_s = jnp.where(valid, out_s, NEG_INF)
-        order = jnp.argsort(-out_s, axis=1)
-        out_s = jnp.take_along_axis(out_s, order, axis=1)
-        out_i = jnp.take_along_axis(out_i, order, axis=1)
+    # Padding rows score NEG_INF inside the kernel, so they can only appear
+    # when k > n (nothing real left); slots never filled keep the scratch
+    # init index -1. Clamp both to a valid row so a consumer indexing
+    # names[i] can never go out of bounds — the NEG_INF score keeps such
+    # entries below any threshold.
+    out_i = jnp.where((out_i >= 0) & (out_i < n), out_i, 0)
     return out_s, out_i

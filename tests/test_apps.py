@@ -278,3 +278,16 @@ class TestRealtime:
             time.sleep(0.2)
         rt.stop()
         assert rt.result["identity"] in ("Unknown", "No face")
+
+
+class TestEngineRegistryDegradation:
+    def test_missing_checkpoint_degrades_not_random(self):
+        """No configured checkpoint → engine is None ('Model not loaded'),
+        never a random-init net serving confident identities (ADVICE r1)."""
+        from facerecognition_tpu.apps.web_app import EngineRegistry
+
+        reg = EngineRegistry()  # no checkpoints configured
+        assert reg.get("arcface") is None
+        assert reg.get("facenet") is None
+        reg2 = EngineRegistry(arcface_ckpt="/nonexistent/path.msgpack")
+        assert reg2.get("arcface") is None

@@ -45,3 +45,35 @@ def test_single_tile(rng):
     )
     rs, ri = _ref_topk(q, g, 4)
     np.testing.assert_array_equal(np.asarray(i), ri)
+
+
+def test_padding_never_leaks_invalid_indices(rng):
+    """All-negative real scores: zero-vector padding rows would win the
+    top-k — their scores must be masked to -inf AND their indices clamped
+    into range so names[i] can't IndexError (ADVICE r1)."""
+    from facerecognition_tpu.ops.pallas_topk import pallas_cosine_topk
+
+    d, n, tile = 32, 10, 8  # n % tile != 0 → 6 padding rows
+    q = np.ones((3, d), np.float32)
+    gallery = -np.abs(rng.normal(size=(n, d))).astype(np.float32)  # all cos < 0
+    s, i = pallas_cosine_topk(
+        jnp.asarray(q), jnp.asarray(gallery), k=5, tile=tile, interpret=True
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    assert (i >= 0).all() and (i < n).all(), i
+    # every top-k entry is a real row: padding loses to any real score
+    assert (s > -1e29).all(), s
+    # exact agreement with dense top-k
+    dense = (q / np.linalg.norm(q, axis=1, keepdims=True)) @ (
+        gallery / np.linalg.norm(gallery, axis=1, keepdims=True)
+    ).T
+    for row in range(3):
+        np.testing.assert_array_equal(i[row], np.argsort(-dense[row])[:5])
+
+    # k > n: the surplus entries carry NEG_INF scores and in-range indices
+    s2, i2 = pallas_cosine_topk(
+        jnp.asarray(q), jnp.asarray(gallery[:3]), k=5, tile=tile, interpret=True
+    )
+    s2, i2 = np.asarray(s2), np.asarray(i2)
+    assert (i2 >= 0).all() and (i2 < 3).all()
+    assert (s2[:, 3:] < -1e29 + 1).all()

@@ -75,3 +75,20 @@ def test_inception_resnet_v1_parity():
         )
         assert cos > 1 - 1e-5, f"cosine {cos}"
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-3
+
+
+def test_arcface_margin_head_kept_verbatim():
+    """arcface.weight (C, D) must port as params/arcface/weight, untransposed
+    (ADVICE r1: it was renamed to kernel and flipped to (D, C))."""
+    from facerecognition_tpu.models.port_torch import (
+        arcface_key_map,
+        port_state_dict,
+    )
+
+    w = np.arange(12, dtype=np.float32).reshape(6, 2)  # (C=6, D=2)
+    sd = {"arcface.weight": w, "fc.weight": np.zeros((2, 4), np.float32)}
+    out = port_state_dict(sd, arcface_key_map)
+    assert "weight" in out["params"]["arcface"]
+    np.testing.assert_array_equal(out["params"]["arcface"]["weight"], w)
+    # the plain linear still transposes OI → IO
+    assert out["params"]["fc"]["kernel"].shape == (4, 2)
