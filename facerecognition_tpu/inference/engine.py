@@ -32,16 +32,28 @@ class Gallery:
     Replaces the reference's dict database and FAISS index with one object;
     persists as the same .npy dict format the reference writes
     (extract_embeddings.py:831, np.save of {name: embedding}).
+
+    Enrollment scales to the ≥1M-identity regime this framework targets:
+    a name→row dict (no O(N) list scans), geometric capacity growth (no
+    per-add full-matrix copies), and a bulk ``add_many`` that normalizes and
+    writes a whole batch in one vectorized pass (the reference enrolls one
+    mean-embedding at a time, recognition_engine.py:391-422).
     """
 
     def __init__(self, dim: int = 512):
         self.dim = dim
         self.names: list[str] = []
-        self._matrix = np.zeros((0, dim), np.float32)
+        self._index: dict[str, int] = {}
+        self._store = np.zeros((0, dim), np.float32)  # capacity >= len(names)
         self._device_matrix: Optional[jax.Array] = None
 
     def __len__(self) -> int:
         return len(self.names)
+
+    @property
+    def _matrix(self) -> np.ndarray:
+        """Host view of the live rows (capacity trimmed)."""
+        return self._store[: len(self.names)]
 
     @property
     def matrix(self) -> jax.Array:
@@ -49,23 +61,67 @@ class Gallery:
             self._device_matrix = jnp.asarray(self._matrix)
         return self._device_matrix
 
+    def _reserve(self, extra: int) -> None:
+        need = len(self.names) + extra
+        if need <= len(self._store):
+            return
+        cap = max(need, 2 * len(self._store), 64)
+        grown = np.zeros((cap, self.dim), np.float32)
+        grown[: len(self.names)] = self._matrix
+        self._store = grown
+
     def add(self, name: str, embedding: np.ndarray) -> None:
-        emb = np.asarray(embedding, np.float32).reshape(1, -1)
+        emb = np.asarray(embedding, np.float32).reshape(-1)
         emb = emb / (np.linalg.norm(emb) + 1e-12)
-        if name in self.names:
-            idx = self.names.index(name)
-            self._matrix[idx] = emb[0]
+        idx = self._index.get(name)
+        if idx is not None:
+            self._store[idx] = emb
         else:
+            self._reserve(1)
+            self._index[name] = len(self.names)
+            self._store[len(self.names)] = emb
             self.names.append(name)
-            self._matrix = np.concatenate([self._matrix, emb])
         self._device_matrix = None  # invalidate device copy
 
+    def add_many(self, names: Sequence[str], embeddings: np.ndarray) -> None:
+        """Bulk enrollment: one vectorized normalize + one block write.
+
+        Duplicate names (within the batch or vs existing rows) keep the last
+        embedding, matching repeated ``add`` semantics. 100k identities
+        enroll in milliseconds (vs seconds of per-add concat churn).
+        """
+        embs = np.ascontiguousarray(embeddings, np.float32).reshape(
+            len(names), -1
+        )
+        embs = embs / np.maximum(
+            np.linalg.norm(embs, axis=1, keepdims=True), 1e-12
+        )
+        self._reserve(len(names))
+        row_of_batch: dict[int, int] = {}  # row -> last batch pos (last wins)
+        for j, name in enumerate(names):
+            idx = self._index.get(name)
+            if idx is None:
+                idx = len(self.names)
+                self._index[name] = idx
+                self.names.append(name)
+            row_of_batch[idx] = j
+        if row_of_batch:
+            rows = np.fromiter(row_of_batch.keys(), np.int64)
+            srcs = np.fromiter(row_of_batch.values(), np.int64)
+            self._store[rows] = embs[srcs]
+        self._device_matrix = None
+
     def remove(self, name: str) -> bool:
-        if name not in self.names:
+        idx = self._index.pop(name, None)
+        if idx is None:
             return False
-        idx = self.names.index(name)
-        self.names.pop(idx)
-        self._matrix = np.delete(self._matrix, idx, axis=0)
+        last = len(self.names) - 1
+        if idx != last:  # swap-remove: O(1), order not part of the contract
+            self._store[idx] = self._store[last]
+            moved = self.names[last]
+            self.names[idx] = moved
+            self._index[moved] = idx
+        self.names.pop()
         self._device_matrix = None
         return True
 
@@ -73,12 +129,13 @@ class Gallery:
     def from_dict(cls, db: dict[str, np.ndarray]) -> "Gallery":
         first = next(iter(db.values()), None)
         g = cls(dim=len(np.ravel(first)) if first is not None else 512)
-        for name, emb in db.items():
-            g.add(name, np.ravel(emb))
+        if db:
+            names = list(db.keys())
+            g.add_many(names, np.stack([np.ravel(db[n]) for n in names]))
         return g
 
     def to_dict(self) -> dict[str, np.ndarray]:
-        return {n: self._matrix[i].copy() for i, n in enumerate(self.names)}
+        return {n: self._store[i].copy() for i, n in enumerate(self.names)}
 
     def save(self, path: str) -> None:
         d = os.path.dirname(path)
@@ -199,11 +256,18 @@ class RecognitionEngine:
 
     # -- fused device pipeline ----------------------------------------------
 
-    def _build_fused(self, frame_shape: tuple[int, int], k: int):
+    def _build_fused(
+        self, frame_shape: tuple[int, int], k: int, max_faces: int
+    ):
         """One jitted graph: detect → align → embed → match for a fixed
-        frame shape. Single device dispatch per call — the production
-        serving path (the staged path costs 4 dispatches, which matters on
-        high-latency interconnects)."""
+        frame shape, up to ``max_faces`` faces per frame. Single device
+        dispatch per call — the production serving path (the staged path
+        costs 4 dispatches, which matters on high-latency interconnects).
+
+        All ``B * max_faces`` NMS slots are aligned/embedded/matched
+        unconditionally (fixed shapes; invalid slots are masked host-side) —
+        on the MXU this is cheaper than any data-dependent skip.
+        """
         import functools
 
         from facerecognition_tpu.models.detector_net import detect_faces
@@ -220,18 +284,21 @@ class RecognitionEngine:
 
         @functools.partial(jax.jit, static_argnums=())
         def fused(det_vars, emb_vars, gallery, frames):
+            bsz = frames.shape[0]
             small = bilinear_resize_mxu_batch(frames, det_size, det_size, True)
             raw = det.net.apply(det_vars, small / 127.5 - 1.0)
             boxes, lms, det_scores, valid = jax.vmap(
                 lambda r: detect_faces(
-                    r, det.anchors, det.iou_threshold, det_size, 1
+                    r, det.anchors, det.iou_threshold, det_size, max_faces
                 )
-            )(raw)
-            lm = lms[:, 0] * jnp.array(
-                [w / det_size, h / det_size], jnp.float32
-            )
-            lm = jnp.clip(lm, 0.0, jnp.array([w - 1.0, h - 1.0]))
-            aligned = align_crop_mxu_batch(frames, lm, size, True)
+            )(raw)  # (B, M, 4), (B, M, 5, 2), (B, M), (B, M)
+            scale = jnp.array([w / det_size, h / det_size], jnp.float32)
+            lm = jnp.clip(
+                lms * scale, 0.0, jnp.array([w - 1.0, h - 1.0])
+            ).reshape(bsz * max_faces, 5, 2)
+            boxes = boxes * jnp.tile(scale, 2)  # frame-pixel coords
+            rep = jnp.repeat(frames, max_faces, axis=0)
+            aligned = align_crop_mxu_batch(rep, lm, size, True)
             x = normalize_imagenet_style(aligned)
             emb = self.embedder.model.apply(emb_vars, x)
             emb = emb / jnp.maximum(
@@ -240,35 +307,46 @@ class RecognitionEngine:
             )
             scores, idx = auto_cosine_topk(emb, gallery, k)
             return (
-                scores,
-                idx,
-                det_scores[:, 0],
-                boxes[:, 0],
-                emb,
+                scores.reshape(bsz, max_faces, -1),
+                idx.reshape(bsz, max_faces, -1),
+                det_scores,
+                boxes,
+                valid,
+                emb.reshape(bsz, max_faces, -1),
             )
 
         return fused
 
-    def fused_recognize_frames(self, frames: np.ndarray, k: int = 5) -> list[dict]:
+    def fused_recognize_frames(
+        self, frames: np.ndarray, k: int = 5, max_faces: int = 1
+    ) -> list[dict]:
         """Recognize a (B, H, W, 3) frame batch in ONE device dispatch.
 
-        Requires a detector and a non-empty gallery. Frames that fail
-        detection (score < detector.confidence_threshold) come back as
-        'No face'.
+        Requires a detector and a non-empty gallery. Returns one dict per
+        frame whose top-level fields describe the highest-confidence face
+        (identity/confidence/top_k/bbox — 'No face' when nothing clears
+        detector.confidence_threshold) plus a ``'faces'`` list with the same
+        fields for every detected face, mirroring the reference web app's
+        draw-every-face behavior (web_app.py:40-81, detect_all usage).
         """
         if self.detector is None:
             raise ValueError("fused path needs a detector")
         if len(self.gallery) == 0:
             raise ValueError("fused path needs a non-empty gallery")
         frames = np.asarray(frames, np.float32)
-        key = (frames.shape[1], frames.shape[2], min(k, len(self.gallery)))
+        key = (
+            frames.shape[1],
+            frames.shape[2],
+            min(k, len(self.gallery)),
+            max_faces,
+        )
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
         if key not in cache:
-            cache[key] = self._build_fused(frames.shape[1:3], key[2])
+            cache[key] = self._build_fused(frames.shape[1:3], key[2], max_faces)
         fused = cache[key]
-        scores, idx, det_scores, boxes, emb = fused(
+        scores, idx, det_scores, boxes, valid, emb = fused(
             self.detector.variables,
             self.embedder.variables,
             self.gallery.matrix,
@@ -278,10 +356,33 @@ class RecognitionEngine:
         idx = np.asarray(idx)
         det_scores = np.asarray(det_scores)
         boxes = np.asarray(boxes)
+        valid = np.asarray(valid)
         emb = np.asarray(emb)
+        conf_thr = self.detector.confidence_threshold
         out = []
         for b in range(len(frames)):
-            if det_scores[b] < self.detector.confidence_threshold:
+            faces = []
+            for m in range(det_scores.shape[1]):
+                if not valid[b, m] or det_scores[b, m] < conf_thr:
+                    continue
+                top = [
+                    (self.gallery.names[int(i)], float(s))
+                    for s, i in zip(scores[b, m], idx[b, m])
+                ]
+                name, score = top[0]
+                if score < self.threshold:
+                    name = "Unknown"
+                faces.append(
+                    {
+                        "identity": name,
+                        "confidence": score,
+                        "top_k": top,
+                        "bbox": boxes[b, m].tolist(),
+                        "det_score": float(det_scores[b, m]),
+                        "embedding": emb[b, m],
+                    }
+                )
+            if not faces:
                 out.append(
                     {
                         "identity": "No face",
@@ -290,24 +391,20 @@ class RecognitionEngine:
                         "bbox": None,
                         "status": "success",
                         "embedding": None,
+                        "faces": [],
                     }
                 )
                 continue
-            top = [
-                (self.gallery.names[int(i)], float(s))
-                for s, i in zip(scores[b], idx[b])
-            ]
-            name, score = top[0]
-            if score < self.threshold:
-                name = "Unknown"
+            best = faces[0]  # NMS slots come score-descending
             out.append(
                 {
-                    "identity": name,
-                    "confidence": score,
-                    "top_k": top,
-                    "bbox": boxes[b].tolist(),
+                    "identity": best["identity"],
+                    "confidence": best["confidence"],
+                    "top_k": best["top_k"],
+                    "bbox": best["bbox"],
                     "status": "success",
-                    "embedding": emb[b],
+                    "embedding": best["embedding"],
+                    "faces": faces,
                 }
             )
         return out

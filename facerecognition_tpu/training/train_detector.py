@@ -152,13 +152,19 @@ def make_detector_train_step(net: BlazeFaceNet, anchors: jax.Array) -> Callable:
 
 
 def synthetic_face_batch(
-    rng: np.random.Generator, batch: int, size: int = 128, p_face: float = 0.9
+    rng: np.random.Generator,
+    batch: int,
+    size: int = 128,
+    p_face: float = 0.9,
+    max_per_image: int = 1,
 ):
     """Procedural 'faces': skin ellipse + eyes/nose/mouth landmarks on noise.
 
+    Places 1..max_per_image non-overlapping faces per image (w.p. p_face).
     Returns (images (B, S, S, 3) f32, gt_boxes (B, MAX_GT, 4),
     gt_lms (B, MAX_GT, 5, 2), gt_valid (B, MAX_GT) bool).
     """
+    assert max_per_image <= MAX_GT
     imgs = rng.integers(0, 90, (batch, size, size, 3)).astype(np.float32)
     boxes = np.zeros((batch, MAX_GT, 4), np.float32)
     lms = np.zeros((batch, MAX_GT, 5, 2), np.float32)
@@ -167,33 +173,59 @@ def synthetic_face_batch(
     for b in range(batch):
         if rng.random() > p_face:
             continue
-        r = rng.uniform(size * 0.12, size * 0.3)
-        cx = rng.uniform(r + 2, size - r - 2)
-        cy = rng.uniform(r + 2, size - r - 2)
-        skin = np.array(
-            [rng.uniform(170, 230), rng.uniform(120, 180), rng.uniform(90, 140)]
+        # (skip the draw when single-face to keep RNG streams stable)
+        n_faces = (
+            1
+            if max_per_image == 1
+            else int(rng.integers(1, max_per_image + 1))
         )
-        mask = ((xx - cx) / r) ** 2 + ((yy - cy) / (1.25 * r)) ** 2 <= 1.0
-        imgs[b][mask] = skin + rng.normal(0, 6, 3)
-        # landmarks in the canonical face layout
-        eye_y = cy - 0.35 * r
-        lm = np.array(
-            [
-                [cx - 0.45 * r, eye_y],
-                [cx + 0.45 * r, eye_y],
-                [cx, cy + 0.15 * r],
-                [cx - 0.35 * r, cy + 0.65 * r],
-                [cx + 0.35 * r, cy + 0.65 * r],
-            ]
-        )
-        for k, (lx, ly) in enumerate(lm):
-            ix, iy = int(lx), int(ly)
-            rad = max(1, int(r * 0.1))
-            m2 = (xx - ix) ** 2 + (yy - iy) ** 2 <= rad * rad
-            imgs[b][m2] = 25.0 if k < 2 else (80.0 if k == 2 else 50.0)
-        boxes[b, 0] = [cx - r, cy - 1.25 * r, cx + r, cy + 1.25 * r]
-        lms[b, 0] = lm
-        valid[b, 0] = True
+        slot = 0
+        for _ in range(n_faces * 4):  # rejection-sample placements
+            if slot >= n_faces:
+                break
+            rmax = size * (0.3 if n_faces == 1 else 0.18)
+            r = rng.uniform(size * 0.12, rmax)
+            cx = rng.uniform(r + 2, size - r - 2)
+            cy = rng.uniform(r + 2, size - r - 2)
+            box = np.array([cx - r, cy - 1.25 * r, cx + r, cy + 1.25 * r])
+            if slot and (
+                np.asarray(
+                    iou_matrix(
+                        jnp.asarray(box[None]), jnp.asarray(boxes[b, :slot])
+                    )
+                ).max()
+                > 0.05
+            ):
+                continue
+            skin = np.array(
+                [
+                    rng.uniform(170, 230),
+                    rng.uniform(120, 180),
+                    rng.uniform(90, 140),
+                ]
+            )
+            mask = ((xx - cx) / r) ** 2 + ((yy - cy) / (1.25 * r)) ** 2 <= 1.0
+            imgs[b][mask] = skin + rng.normal(0, 6, 3)
+            # landmarks in the canonical face layout
+            eye_y = cy - 0.35 * r
+            lm = np.array(
+                [
+                    [cx - 0.45 * r, eye_y],
+                    [cx + 0.45 * r, eye_y],
+                    [cx, cy + 0.15 * r],
+                    [cx - 0.35 * r, cy + 0.65 * r],
+                    [cx + 0.35 * r, cy + 0.65 * r],
+                ]
+            )
+            for k, (lx, ly) in enumerate(lm):
+                ix, iy = int(lx), int(ly)
+                rad = max(1, int(r * 0.1))
+                m2 = (xx - ix) ** 2 + (yy - iy) ** 2 <= rad * rad
+                imgs[b][m2] = 25.0 if k < 2 else (80.0 if k == 2 else 50.0)
+            boxes[b, slot] = box
+            lms[b, slot] = lm
+            valid[b, slot] = True
+            slot += 1
     return imgs, boxes, lms, valid
 
 
@@ -204,6 +236,170 @@ class DetectorTrainConfig:
     steps: int = 500
     lr: float = 1e-3
     seed: int = 0
+    max_faces_per_image: int = 1
+
+
+@dataclasses.dataclass
+class CurriculumConfig:
+    """Config for curriculum training on the v2 procedural scenes
+    (`training.synthetic_faces`)."""
+
+    input_size: int = 128
+    batch_size: int = 64
+    steps: int = 4000
+    lr: float = 1.5e-3
+    warmup: int = 200
+    seed: int = 0
+    max_faces: int = 2
+    p_face: float = 0.92
+    prefetch_threads: int = 4
+
+
+def train_detector_curriculum(
+    config: CurriculumConfig,
+    log_every: int = 200,
+    progress: Callable[[int, float], None] | None = None,
+):
+    """Train BlazeFaceNet on the v2 scene curriculum (varied faces, poses,
+    backgrounds, hard negatives — see `synthetic_faces.render_scene`).
+
+    Host rendering runs in ``prefetch_threads`` producer threads so the TPU
+    never waits on cv2 (the reference's DataLoader-worker pattern,
+    arcface_dataloader.py:567, minus the process boundary).
+    Returns (variables, history).
+    """
+    import queue
+    import threading
+
+    from facerecognition_tpu.training.synthetic_faces import scene_batch
+
+    net = BlazeFaceNet()
+    anchors = jnp.asarray(anchor_centers(config.input_size))
+    variables = net.init(
+        jax.random.PRNGKey(config.seed),
+        jnp.zeros((1, config.input_size, config.input_size, 3)),
+    )
+    warmup = min(config.warmup, max(config.steps // 10, 1))
+    tx = optax.adam(
+        optax.warmup_cosine_decay_schedule(
+            0.0, config.lr, warmup, config.steps
+        )
+    )
+    state = train_state.TrainState.create(
+        apply_fn=net.apply, params=variables["params"], tx=tx
+    )
+    step_fn = make_detector_train_step(net, anchors)
+
+    q: "queue.Queue" = queue.Queue(maxsize=config.prefetch_threads * 2)
+    stop = threading.Event()
+
+    def producer(tid: int) -> None:
+        rng = np.random.default_rng((config.seed, tid))
+        while not stop.is_set():
+            batch = scene_batch(
+                rng,
+                config.batch_size,
+                config.input_size,
+                config.max_faces,
+                config.p_face,
+            )
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    threads = [
+        threading.Thread(target=producer, args=(t,), daemon=True)
+        for t in range(config.prefetch_threads)
+    ]
+    for t in threads:
+        t.start()
+    history = []
+    try:
+        for step in range(config.steps):
+            imgs, gb, gl, gv = q.get()
+            state, metrics = step_fn(
+                state,
+                jnp.asarray(imgs) / 127.5 - 1.0,
+                jnp.asarray(gb),
+                jnp.asarray(gl),
+                jnp.asarray(gv),
+            )
+            if step % log_every == 0 or step == config.steps - 1:
+                loss = float(metrics["loss"])
+                history.append({"step": step, "loss": loss})
+                if progress is not None:
+                    progress(step, loss)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=2.0)
+    return {"params": state.params}, history
+
+
+def evaluate_detector(
+    detector,
+    n_scenes: int = 200,
+    seed: int = 777,
+    size: int | None = None,
+    max_faces: int = 2,
+    iou_match: float = 0.5,
+) -> dict:
+    """Detection quality on held-out v2 scenes: recall@IoU, mean matched
+    IoU, landmark error (fraction of face width), false positives/image.
+
+    The quality metric the reference never had for its detector backends
+    (face_detector.py:465-534 only measures latency).
+    """
+    from facerecognition_tpu.training.synthetic_faces import render_scene
+
+    rng = np.random.default_rng(seed)
+    size = size or detector.input_size
+    n_gt = n_match = n_fp = 0
+    iou_sum = 0.0
+    lm_err_sum = 0.0
+    for _ in range(n_scenes):
+        img, gt_boxes, gt_lms, gt_valid = render_scene(
+            rng, size, max_faces, p_face=0.92
+        )
+        dets = detector.detect_all(img.astype(np.uint8))
+        gt = gt_boxes[gt_valid]
+        glm = gt_lms[gt_valid]
+        n_gt += len(gt)
+        taken = np.zeros(len(gt), bool)
+        for d in dets:
+            db = np.asarray(d["bbox"], np.float32)
+            if len(gt) == 0:
+                n_fp += 1
+                continue
+            ious = np.asarray(
+                iou_matrix(jnp.asarray(db[None]), jnp.asarray(gt))
+            )[0]
+            ious = np.where(taken, 0.0, ious)
+            j = int(np.argmax(ious))
+            if ious[j] >= iou_match:
+                taken[j] = True
+                n_match += 1
+                iou_sum += float(ious[j])
+                if d.get("landmarks") is not None:
+                    w = gt[j, 2] - gt[j, 0]
+                    lm_err_sum += float(
+                        np.linalg.norm(
+                            np.asarray(d["landmarks"]) - glm[j], axis=1
+                        ).mean()
+                        / max(w, 1e-6)
+                    )
+            else:
+                n_fp += 1
+    return {
+        "recall": n_match / max(n_gt, 1),
+        "mean_iou": iou_sum / max(n_match, 1),
+        "mean_lm_err_frac": lm_err_sum / max(n_match, 1),
+        "fp_per_image": n_fp / n_scenes,
+        "n_gt": n_gt,
+    }
 
 
 def train_detector_synthetic(
@@ -227,7 +423,10 @@ def train_detector_synthetic(
     history = []
     for step in range(config.steps):
         imgs, gb, gl, gv = synthetic_face_batch(
-            rng, config.batch_size, config.input_size
+            rng,
+            config.batch_size,
+            config.input_size,
+            max_per_image=config.max_faces_per_image,
         )
         norm = jnp.asarray(imgs) / 127.5 - 1.0
         state, metrics = step_fn(

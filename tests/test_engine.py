@@ -65,6 +65,64 @@ class TestGallery:
         assert not g.remove("zz")
         assert g.names == ["b"]
 
+    def test_add_many_matches_sequential_add(self, rng):
+        embs = rng.normal(size=(6, 8)).astype(np.float32)
+        names = [f"p{i}" for i in range(6)]
+        g1 = Gallery(dim=8)
+        g1.add_many(names, embs)
+        g2 = Gallery(dim=8)
+        for n, e in zip(names, embs):
+            g2.add(n, e)
+        assert g1.names == g2.names
+        np.testing.assert_allclose(
+            np.asarray(g1.matrix), np.asarray(g2.matrix), atol=1e-6
+        )
+
+    def test_add_many_last_wins_on_duplicates(self, rng):
+        g = Gallery(dim=4)
+        g.add("a", np.array([1, 0, 0, 0], np.float32))
+        g.add_many(
+            ["a", "b", "b"],
+            np.array(
+                [[0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
+            ),
+        )
+        assert g.names == ["a", "b"]
+        mat = np.asarray(g.matrix)
+        np.testing.assert_allclose(mat[0], [0, 1, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(mat[1], [0, 0, 0, 1], atol=1e-6)
+
+    def test_add_many_100k_fast(self, rng):
+        import time
+
+        n, d = 100_000, 64
+        embs = rng.normal(size=(n, d)).astype(np.float32)
+        names = [f"id_{i}" for i in range(n)]
+        g = Gallery(dim=d)
+        t0 = time.perf_counter()
+        g.add_many(names, embs)
+        elapsed = time.perf_counter() - t0
+        assert len(g) == n
+        assert elapsed < 5.0, f"bulk enroll took {elapsed:.1f}s"
+        # spot-check a row and dict round-trip of a slice
+        i = 54_321
+        np.testing.assert_allclose(
+            np.asarray(g.matrix)[i],
+            embs[i] / np.linalg.norm(embs[i]),
+            atol=1e-6,
+        )
+        assert g.remove("id_99999") and len(g) == n - 1
+
+    def test_incremental_adds_after_bulk(self, rng):
+        g = Gallery(dim=4)
+        g.add_many(["x", "y"], rng.normal(size=(2, 4)))
+        g.add("z", rng.normal(size=4))
+        g.remove("x")
+        assert set(g.names) == {"y", "z"}
+        assert np.asarray(g.matrix).shape == (2, 4)
+        d = g.to_dict()
+        assert set(d) == {"y", "z"}
+
 
 class TestEngine:
     def test_recognize_result_contract(self, embedder, rng):

@@ -19,8 +19,14 @@ class TestFusedPipeline:
         from tests.test_engine import SmallEmbedder
 
         variables, _ = train_detector_synthetic(
-            DetectorTrainConfig(input_size=64, batch_size=16, steps=120, lr=2e-3),
-            log_every=60,
+            DetectorTrainConfig(
+                input_size=64,
+                batch_size=16,
+                steps=400,
+                lr=2e-3,
+                max_faces_per_image=2,
+            ),
+            log_every=200,
         )
         detector = FaceDetector(
             input_size=64,
@@ -50,6 +56,47 @@ class TestFusedPipeline:
         for r in detected:
             assert r["bbox"] is not None
             assert len(r["top_k"]) == 3
+
+    def test_fused_multiface_two_identities(self, stack, rng):
+        """A 2-face frame through the fused path returns 2 per-face results
+        (reference web_app.py:40-81 draws every detected face)."""
+        engine, detector = stack
+        # Find a frame with two non-overlapping synthetic faces that the
+        # fixture detector sees BOTH of (its quality bar lives in
+        # test_detector; here we test the per-face fused plumbing).
+        first = None
+        for _ in range(12):
+            frame, gb, gl, gv = synthetic_face_batch(
+                rng, 1, 96, p_face=1.0, max_per_image=2
+            )
+            if gv[0].sum() < 2:
+                continue
+            if len(engine.gallery) == 0:
+                engine.add_to_db("seed", [frame[0].astype(np.uint8)])
+            cand = engine.fused_recognize_frames(frame, k=1, max_faces=4)[0]
+            if len(cand["faces"]) >= 2:
+                first = cand
+                break
+        assert first is not None, "no 2-face frame fully detected in 12 tries"
+        # Enroll each detected face's own embedding, then re-run: every face
+        # must come back as ITS identity (per-face align/embed/match works).
+        for j, f in enumerate(first["faces"][:2]):
+            engine.gallery.add(f"multi{j}", f["embedding"])
+        res = engine.fused_recognize_frames(frame, k=2, max_faces=4)[0]
+        assert res["status"] == "success"
+        assert res["identity"] == res["faces"][0]["identity"]
+        names = [f["identity"] for f in res["faces"][:2]]
+        assert set(names) == {"multi0", "multi1"}, names
+        for f in res["faces"][:2]:
+            assert f["bbox"] is not None and len(f["top_k"]) == 2
+            assert f["confidence"] > 0.99  # exact re-embed of the same face
+
+    def test_fused_max_faces_default_single(self, stack, rng):
+        """max_faces=1 keeps the original one-face contract + faces list."""
+        engine, detector = stack
+        imgs, *_ = synthetic_face_batch(rng, 2, 96, p_face=1.0)
+        res = engine.fused_recognize_frames(imgs, k=1)
+        assert all(len(r["faces"]) <= 1 for r in res)
 
     def test_fused_requires_gallery_and_detector(self, stack, rng):
         engine, detector = stack
