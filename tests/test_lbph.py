@@ -7,8 +7,10 @@ transcription of OpenCV's elbp/spatial_histogram.
 """
 
 import math
+import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from facerecognition_tpu.models.lbph import (
@@ -83,6 +85,57 @@ class TestLBPCore:
         cell = code[:12, :12].reshape(-1)
         ref = np.bincount(cell, minlength=256) / 144.0
         np.testing.assert_allclose(hist[:256], ref, atol=1e-6)
+
+    @pytest.mark.parametrize(
+        "radius,neighbors",
+        [(1, 8), (2, 8), (3, 8), (1, 4), (2, 4), (1, 10), (2, 16)],
+    )
+    def test_code_image_golden_matrix(self, rng, radius, neighbors):
+        """Golden parity across the cv2.face constructor's parameter space
+        (reference train_lbph.py:24-36 exposes radius/neighbors)."""
+        img = rng.integers(0, 256, (18 + 2 * radius, 22 + 2 * radius)).astype(
+            np.uint8
+        )
+        ours = np.asarray(lbp_code_image(jnp.asarray(img), radius, neighbors))
+        ref = _ref_elbp(img, radius, neighbors)
+        np.testing.assert_array_equal(ours, ref)
+        assert ours.max() < 2**neighbors
+
+    @pytest.mark.parametrize("grid_x,grid_y", [(4, 6), (7, 3), (8, 8)])
+    def test_spatial_histogram_nonsquare_grids(self, rng, grid_x, grid_y):
+        code = rng.integers(0, 256, (59, 47)).astype(np.int32)
+        hist = np.asarray(
+            spatial_histogram(jnp.asarray(code), grid_x, grid_y, 256)
+        )
+        assert hist.shape == (grid_x * grid_y * 256,)
+        ch, cw = 59 // grid_y, 47 // grid_x
+        # golden: loop bincount over every cell (row-major concat, OpenCV
+        # spatial_histogram order)
+        for cy in range(grid_y):
+            for cx in range(grid_x):
+                cell = code[cy * ch : (cy + 1) * ch, cx * cw : (cx + 1) * cw]
+                ref = np.bincount(cell.reshape(-1), minlength=256) / (ch * cw)
+                got = hist[(cy * grid_x + cx) * 256 : (cy * grid_x + cx + 1) * 256]
+                np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_recorded_golden_fixture(self):
+        """Numeric-drift tripwire: features + distances for a fixed-seed
+        image must match the committed recording exactly (regenerate with
+        tests/fixtures/make_lbph_golden.py if the algorithm intentionally
+        changes)."""
+        path = os.path.join(
+            os.path.dirname(__file__), "fixtures", "lbph_golden.npz"
+        )
+        rec = np.load(path)
+        img = rec["image"]
+        feats = np.asarray(
+            lbph_features(jnp.asarray(img), 2, 8, 5, 4, 256)
+        )
+        np.testing.assert_allclose(feats, rec["features"], atol=1e-6)
+        d = np.asarray(
+            chi2_alt_distances(jnp.asarray(feats), jnp.asarray(rec["gallery"]))
+        )
+        np.testing.assert_allclose(d, rec["distances"], rtol=1e-5)
 
     def test_chi2_alt(self, rng):
         q = np.abs(rng.normal(size=64)).astype(np.float32)
