@@ -1,0 +1,107 @@
+"""Large-gallery match benchmark: exact top-k at the ≥1M-identity regime.
+
+The design headline of this framework is that FAISS (reference
+inference/extract_embeddings.py:595-645) collapses to an MXU matmul +
+streaming top-k on TPU. This bench measures that claim where it matters —
+N = 1M gallery rows — engaging the Pallas streaming kernel
+(`ops/pallas_topk.py`, used automatically above
+``ops.matcher.PALLAS_TOPK_MIN_ROWS``) and parity-checking it against the
+dense XLA path on a subsample.
+
+Methodology matches bench.py: timed work runs inside ONE jit via lax.scan
+with a checksum carried to host (tunnel-latency/elision-proof).
+
+Prints one JSON line per measured configuration.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_match_bench(matcher, k):
+    import jax
+    import jax.numpy as jnp
+
+    def repeated(queries_stack, gallery):
+        def body(carry, queries):
+            scores, idx = matcher(queries, gallery, k)
+            carry = carry + jnp.sum(scores) + jnp.sum(idx).astype(jnp.float32) * 1e-9
+            return carry, ()
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), queries_stack)
+        return carry
+
+    return jax.jit(repeated)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from facerecognition_tpu.ops.matcher import cosine_topk
+    from facerecognition_tpu.ops.pallas_topk import pallas_cosine_topk
+    from facerecognition_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gallery", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=8, help="batches per timed run")
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--skip-dense", action="store_true",
+                    help="skip the dense XLA path (HBM-heavy at 1M)")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    print(f"# gallery={args.gallery} dim={args.dim} batch={args.batch} "
+          f"k={args.k} device={jax.devices()[0]}", flush=True)
+    gallery = jnp.asarray(
+        rng.normal(size=(args.gallery, args.dim)).astype(np.float32)
+    )
+    queries_stack = jnp.asarray(
+        rng.normal(size=(args.iters, args.batch, args.dim)).astype(np.float32)
+    )
+
+    # --- parity: pallas vs dense on a query subsample ----------------------
+    q_small = queries_stack[0][:64]
+    s_ref, i_ref = cosine_topk(q_small, gallery, args.k)
+    s_pal, i_pal = pallas_cosine_topk(q_small, gallery, args.k)
+    top1_agree = float(np.mean(np.asarray(i_ref[:, 0]) == np.asarray(i_pal[:, 0])))
+    score_err = float(np.max(np.abs(np.asarray(s_ref) - np.asarray(s_pal))))
+    print(json.dumps({
+        "metric": "pallas_vs_dense_top1_agreement",
+        "value": top1_agree,
+        "unit": "fraction",
+        "max_score_err": score_err,
+    }), flush=True)
+    assert top1_agree == 1.0, "pallas/dense top-1 mismatch"
+
+    baseline = 1592.0  # reference batched GPU throughput (BASELINE.md)
+    paths = [("pallas_stream", pallas_cosine_topk)]
+    if not args.skip_dense:
+        paths.append(("dense_xla", cosine_topk))
+    for name, matcher in paths:
+        fn = build_match_bench(matcher, args.k)
+        _ = float(fn(queries_stack, gallery))  # compile + warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            checksum = float(fn(queries_stack, gallery))
+            best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(checksum)
+        qps = args.iters * args.batch / best
+        print(json.dumps({
+            "metric": f"gallery_match_qps_{name}_N{args.gallery}",
+            "value": round(qps, 1),
+            "unit": "queries/s",
+            "vs_baseline": round(qps / baseline, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

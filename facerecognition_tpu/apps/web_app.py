@@ -81,6 +81,21 @@ class EngineRegistry:
                 )
 
                 ckpt = self.config[f"{model_type}_ckpt"]
+                if not ckpt and model_type == "arcface":
+                    # Ship-with-repo trained checkpoint (synthetic-identity
+                    # curriculum, training/train_synthid.py) so the app
+                    # serves real weights out of the box.
+                    default = os.path.join(
+                        os.path.dirname(
+                            os.path.dirname(
+                                os.path.dirname(os.path.abspath(__file__))
+                            )
+                        ),
+                        "assets",
+                        "arcface_synthid_512.msgpack",
+                    )
+                    if os.path.exists(default):
+                        ckpt = default
                 if not ckpt or not os.path.exists(ckpt):
                     # No trained weights configured → degrade to the
                     # reference's "Model not loaded" instead of serving
@@ -199,8 +214,51 @@ def recognize_with_model(registry: EngineRegistry, model_type: str, image: np.nd
         }
         if res.get("message"):
             result["message"] = res["message"]
+        if getattr(engine, "detector", None) is not None:
+            # Per-face results for multi-face drawing (reference
+            # web_app.py:40-81 draws every detected face).
+            try:
+                all_faces = engine.recognize_all(image)
+                result["faces"] = [
+                    {
+                        "identity": f["identity"],
+                        "confidence": float(f["confidence"]),
+                        "bbox": [float(v) for v in f["bbox"]],
+                        "det_score": f["det_score"],
+                    }
+                    for f in all_faces["faces"]
+                ]
+            except (ValueError, RuntimeError):
+                pass
     result["time_ms"] = (time.perf_counter() - t0) * 1e3
     return result
+
+
+def draw_faces(image: np.ndarray, faces: list[dict]) -> np.ndarray:
+    """Annotate every detected face: box + identity label (the reference's
+    draw_face_bbox, web_app.py:40-81 — green known, orange Unknown)."""
+    import cv2
+
+    out = np.ascontiguousarray(image[..., ::-1])  # RGB→BGR for cv2 colors
+    t = max(2, image.shape[1] // 320)
+    for f in faces:
+        x1, y1, x2, y2 = (int(round(v)) for v in f["bbox"])
+        known = f["identity"] not in ("Unknown", "No face", "No database")
+        color = (111, 181, 63) if known else (59, 164, 224)  # BGR ok/warn
+        cv2.rectangle(out, (x1, y1), (x2, y2), color, t)
+        label = f"{f['identity']} {f['confidence']:.2f}"
+        (tw, th), _ = cv2.getTextSize(
+            label, cv2.FONT_HERSHEY_SIMPLEX, 0.5 * t, t
+        )
+        ty = y1 - 4 * t if y1 - th - 6 * t > 0 else y2 + th + 4 * t
+        cv2.rectangle(
+            out, (x1, ty - th - 2 * t), (x1 + tw + 2 * t, ty + 2 * t), color, -1
+        )
+        cv2.putText(
+            out, label, (x1 + t, ty), cv2.FONT_HERSHEY_SIMPLEX,
+            0.5 * t, (15, 17, 21), t, cv2.LINE_AA,
+        )
+    return out[..., ::-1]
 
 
 def gradcam_overlays(registry: EngineRegistry, image: np.ndarray) -> dict[str, str]:
@@ -404,13 +462,31 @@ def create_app(
                         if r.get("message")
                         else ""
                     )
+                    annotated = ""
+                    if r.get("faces"):
+                        annotated = (
+                            '<br><img class=cam style="max-width:420px" '
+                            f'src="data:image/png;base64,'
+                            f'{_b64_png(draw_faces(image, r["faces"]))}">'
+                        )
+                        if len(r["faces"]) > 1:
+                            face_rows = "".join(
+                                f"<tr><td>{f['identity']}</td>"
+                                f"<td>{f['confidence']:.4f}</td>"
+                                f"<td>{f['det_score']:.2f}</td></tr>"
+                                for f in r["faces"]
+                            )
+                            table += (
+                                "<table><tr><th>face</th><th>confidence</th>"
+                                f"<th>det score</th></tr>{face_rows}</table>"
+                            )
                     cards.append(
                         f"<div class=result><h3>{m}</h3>"
                         f"<span class='{cls}'>{ident}</span> "
                         f"<span class=meta>confidence "
                         f"{r.get('confidence', 0):.4f} · "
                         f"{r.get('time_ms', 0):.1f} ms</span>"
-                        f"{msg}{table}</div>"
+                        f"{msg}{table}{annotated}</div>"
                     )
                 cams = "".join(
                     f"<div class=result><h3>{m} class activation</h3>"
@@ -463,6 +539,22 @@ def create_app(
                     {"filename": n, **r} for n, r in zip(names, results)
                 ]
             }
+            if "text/html" in environ.get("HTTP_ACCEPT", ""):
+                rows = "".join(
+                    f"<tr><td>{e['filename']}</td><td>{e.get('identity', '?')}"
+                    f"</td><td>{e.get('confidence', 0):.4f}</td>"
+                    f"<td>{e.get('time_ms', 0):.1f}</td></tr>"
+                    for e in payload["results"]
+                )
+                table = (
+                    f"<div class=result><h3>{model} · {len(names)} images"
+                    "</h3><table><tr><th>file</th><th>identity</th>"
+                    f"<th>confidence</th><th>ms/img</th></tr>{rows}</table>"
+                    "</div>"
+                )
+                return respond_html(
+                    start_response, "Batch results", _BATCH_FORM + table
+                )
             return respond_json(start_response, payload)
 
         # -- realtime -----------------------------------------------------

@@ -434,6 +434,61 @@ class RecognitionEngine:
         result.update(identity=identity, confidence=confidence, top_k=top_k)
         return result
 
+    def recognize_all(
+        self, img_input, k: int = 5, max_faces: int = 16
+    ) -> dict:
+        """Recognize EVERY face in one image (staged path, any image size).
+
+        The reference web app draws all detected faces (web_app.py:40-81 +
+        detect_all); this is the engine-level equivalent: one detect_all,
+        one batched align on the MXU warp, ONE embed batch, ONE match
+        matmul. For fixed-shape streams prefer ``fused_recognize_frames``.
+
+        Returns {'status', 'faces': [{identity, confidence, top_k, bbox,
+        det_score, embedding}, ...]} sorted by detection score.
+        """
+        if self.detector is None:
+            raise ValueError("recognize_all needs a detector")
+        try:
+            img = load_image(img_input)
+        except (FileNotFoundError, OSError):
+            return {"status": "error", "message": "invalid image", "faces": []}
+        dets = self.detector.detect_all(img)[:max_faces]
+        if not dets:
+            return {"status": "success", "faces": []}
+        from facerecognition_tpu.ops.warp_mxu import align_crop_mxu_batch
+
+        size = self.embedder.config.input_size
+        frame = jnp.asarray(np.asarray(img, np.float32))
+        lms = jnp.asarray(
+            np.stack([np.asarray(d["landmarks"], np.float32) for d in dets])
+        )
+        aligned = np.asarray(
+            align_crop_mxu_batch(
+                jnp.broadcast_to(frame, (len(dets),) + frame.shape), lms, size
+            )
+        )
+        embs = self.embedder.embed_uint8(aligned)
+        matches = (
+            self.match(embs, k)
+            if len(self.gallery)
+            else [("No database", 0.0, [])] * len(dets)
+        )
+        faces = []
+        for d, emb, (name, score, top) in zip(dets, embs, matches):
+            faces.append(
+                {
+                    "identity": name,
+                    "confidence": score,
+                    "top_k": top,
+                    "bbox": list(d["bbox"]),
+                    "det_score": float(d["confidence"]),
+                    "embedding": emb,
+                }
+            )
+        faces.sort(key=lambda f: -f["det_score"])
+        return {"status": "success", "faces": faces}
+
     def recognize_batch(self, img_inputs: Sequence, k: int = 5) -> list[dict]:
         """Batch recognition — ONE embed batch + ONE match matmul for all
         images (the reference loops recognize() per image, :383-389)."""

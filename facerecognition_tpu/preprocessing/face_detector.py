@@ -82,6 +82,7 @@ class FaceDetector:
             )
             if os.path.exists(default):
                 weights = default
+        self._calibration: Optional[tuple[float, float]] = None
         if weights is None:
             self.variables = self.net.init(
                 jax.random.PRNGKey(0),
@@ -90,7 +91,16 @@ class FaceDetector:
         elif isinstance(weights, (str, os.PathLike)):
             self.variables = load_variables(os.fspath(weights))
         else:
-            self.variables = weights
+            self.variables = dict(weights)
+        # Platt score calibration (training.train_detector.fit_score_
+        # calibration) rides in the checkpoint next to the params.
+        cal = (
+            self.variables.pop("calibration", None)
+            if isinstance(self.variables, dict)
+            else None
+        )
+        if cal is not None:
+            self._calibration = (float(cal["a"]), float(cal["b"]))
         self.anchors = jnp.asarray(anchor_centers(input_size))
 
         size = input_size
@@ -118,6 +128,10 @@ class FaceDetector:
         boxes = np.asarray(boxes, np.float64)
         lms = np.asarray(lms, np.float64)
         scores = np.asarray(scores, np.float64)
+        if self._calibration is not None:
+            a, b = self._calibration
+            z = np.log(np.clip(scores, 1e-9, 1 - 1e-9) / (1 - np.clip(scores, 1e-9, 1 - 1e-9)))
+            scores = 1.0 / (1.0 + np.exp(-(a * z + b)))
         valid = np.asarray(valid)
         sx, sy = w / s, h / s
         boxes[:, 0::2] *= sx

@@ -17,8 +17,28 @@ from facerecognition_tpu.training.schedules import (
     build_schedule,
 )
 from facerecognition_tpu.training.checkpoint import CheckpointManager
+from facerecognition_tpu.training.synthetic_faces import (
+    identity_dataset,
+    render_scene,
+    sample_identity,
+    scene_batch,
+)
+from facerecognition_tpu.training.train_detector import (
+    CurriculumConfig,
+    evaluate_detector,
+    fit_score_calibration,
+    train_detector_curriculum,
+)
 
 __all__ = [
+    "CurriculumConfig",
+    "evaluate_detector",
+    "fit_score_calibration",
+    "identity_dataset",
+    "render_scene",
+    "sample_identity",
+    "scene_batch",
+    "train_detector_curriculum",
     "ArcFaceTrainState",
     "make_arcface_train_step",
     "make_arcface_eval_step",

@@ -637,7 +637,7 @@ def identity_dataset(
         ), i
 
     total = n_identities * samples_per_identity
-    imgs = np.empty((total, out_size, out_size, 3), np.float32)
+    imgs = np.empty((total, out_size, out_size, 3), np.uint8)  # RAM-frugal
     labels = np.empty((total,), np.int32)
     jobs = [(i, k) for i in range(n_identities) for k in range(samples_per_identity)]
     with ThreadPoolExecutor(max_workers=workers) as pool:

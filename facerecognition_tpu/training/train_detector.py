@@ -259,6 +259,7 @@ def train_detector_curriculum(
     config: CurriculumConfig,
     log_every: int = 200,
     progress: Callable[[int, float], None] | None = None,
+    init_variables: dict | None = None,
 ):
     """Train BlazeFaceNet on the v2 scene curriculum (varied faces, poses,
     backgrounds, hard negatives — see `synthetic_faces.render_scene`).
@@ -266,7 +267,8 @@ def train_detector_curriculum(
     Host rendering runs in ``prefetch_threads`` producer threads so the TPU
     never waits on cv2 (the reference's DataLoader-worker pattern,
     arcface_dataloader.py:567, minus the process boundary).
-    Returns (variables, history).
+    ``init_variables`` warm-starts from an earlier checkpoint (fresh
+    optimizer/schedule). Returns (variables, history).
     """
     import queue
     import threading
@@ -275,10 +277,13 @@ def train_detector_curriculum(
 
     net = BlazeFaceNet()
     anchors = jnp.asarray(anchor_centers(config.input_size))
-    variables = net.init(
-        jax.random.PRNGKey(config.seed),
-        jnp.zeros((1, config.input_size, config.input_size, 3)),
-    )
+    if init_variables is not None:
+        variables = {"params": init_variables["params"]}
+    else:
+        variables = net.init(
+            jax.random.PRNGKey(config.seed),
+            jnp.zeros((1, config.input_size, config.input_size, 3)),
+        )
     warmup = min(config.warmup, max(config.steps // 10, 1))
     tx = optax.adam(
         optax.warmup_cosine_decay_schedule(
@@ -316,13 +321,19 @@ def train_detector_curriculum(
     ]
     for t in threads:
         t.start()
+    # Normalize on device: the batch crosses the host→device link as uint8
+    # (4x less traffic than f32 — the tunnel link is the bottleneck here).
+    @jax.jit
+    def normalize(u8):
+        return u8.astype(jnp.float32) / 127.5 - 1.0
+
     history = []
     try:
         for step in range(config.steps):
             imgs, gb, gl, gv = q.get()
             state, metrics = step_fn(
                 state,
-                jnp.asarray(imgs) / 127.5 - 1.0,
+                normalize(jnp.asarray(imgs.astype(np.uint8))),
                 jnp.asarray(gb),
                 jnp.asarray(gl),
                 jnp.asarray(gv),
@@ -400,6 +411,83 @@ def evaluate_detector(
         "fp_per_image": n_fp / n_scenes,
         "n_gt": n_gt,
     }
+
+
+def fit_score_calibration(
+    detector,
+    n_scenes: int = 300,
+    seed: int = 555,
+    max_faces: int = 2,
+    iou_match: float = 0.5,
+) -> tuple[float, float]:
+    """Platt-scale the detector's confidence on held-out scenes.
+
+    Focal-loss training (γ=2) systematically deflates raw sigmoid scores —
+    a well-detecting net can put its TPs at 0.2-0.4. Fit ``p = σ(a·z + b)``
+    (z = raw logit) by logistic regression on TP/FP labels of low-threshold
+    candidate detections, so a calibrated score of 0.5 means "as likely a
+    true face as not" and the reference's 0.9-style thresholds
+    (face_detector.py:49) regain meaning.
+
+    Returns (a, b); apply via FaceDetector checkpoint key ``calibration``.
+    """
+    from facerecognition_tpu.training.synthetic_faces import render_scene
+
+    rng = np.random.default_rng(seed)
+    old_thr = detector.confidence_threshold
+    old_cal = getattr(detector, "_calibration", None)
+    detector.confidence_threshold = 0.02
+    detector._calibration = None  # fit on RAW scores
+    zs, ys = [], []
+    try:
+        for _ in range(n_scenes):
+            img, gt_boxes, _, gt_valid = render_scene(
+                rng, detector.input_size, max_faces, p_face=0.8
+            )
+            gt = gt_boxes[gt_valid]
+            taken = np.zeros(len(gt), bool)
+            for d in detector.detect_all(img.astype(np.uint8)):
+                s = min(max(d["confidence"], 1e-6), 1.0 - 1e-6)
+                z = float(np.log(s / (1.0 - s)))
+                tp = False
+                if len(gt):
+                    ious = np.asarray(
+                        iou_matrix(
+                            jnp.asarray(
+                                np.asarray(d["bbox"], np.float32)[None]
+                            ),
+                            jnp.asarray(gt),
+                        )
+                    )[0]
+                    ious = np.where(taken, 0.0, ious)
+                    j = int(np.argmax(ious))
+                    if ious[j] >= iou_match:
+                        taken[j] = True
+                        tp = True
+                zs.append(z)
+                ys.append(1.0 if tp else 0.0)
+    finally:
+        detector.confidence_threshold = old_thr
+        detector._calibration = old_cal
+    z = np.asarray(zs)
+    y = np.asarray(ys)
+    # 2-param logistic regression via IRLS (no sklearn dependency).
+    a, b = 1.0, 0.0
+    for _ in range(50):
+        p = 1.0 / (1.0 + np.exp(-(a * z + b)))
+        w = np.maximum(p * (1.0 - p), 1e-6)
+        g = np.array([np.sum((p - y) * z), np.sum(p - y)])
+        H = np.array(
+            [
+                [np.sum(w * z * z) + 1e-6, np.sum(w * z)],
+                [np.sum(w * z), np.sum(w) + 1e-6],
+            ]
+        )
+        da, db = np.linalg.solve(H, g)
+        a, b = a - da, b - db
+        if abs(da) + abs(db) < 1e-8:
+            break
+    return float(a), float(b)
 
 
 def train_detector_synthetic(

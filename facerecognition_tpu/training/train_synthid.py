@@ -1,0 +1,285 @@
+"""Recognition-accuracy-at-scale training on synthetic identities.
+
+The reference's quality numbers (88.14% top-1 / AUC 0.9595 on 9,343 CelebA
+identities — BASELINE.md rows 1-4, notebooks/evaluate_arcface_kaggle.ipynb)
+have no counterpart in this dataset-free environment; the honest substitute
+is training ArcFace on a many-identity procedural dataset
+(`synthetic_faces.identity_dataset`) and measuring top-1/top-5/AUC/EER with
+this framework's own evaluation suite. Produces the committed serving
+checkpoint ``assets/arcface_synthid_512.msgpack`` used by bench.py.
+
+Run: python -m facerecognition_tpu.training.train_synthid --n-ids 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from facerecognition_tpu.models.arcface import ArcFaceModel
+from facerecognition_tpu.training.steps import (
+    ArcFaceTrainState,
+    make_arcface_train_step,
+)
+
+
+@dataclasses.dataclass
+class SynthIdConfig:
+    n_ids: int = 500
+    train_per_id: int = 24
+    val_per_id: int = 6
+    batch_size: int = 128
+    epochs: int = 15
+    lr: float = 0.05
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    margin: float = 0.2
+    scale: float = 64.0
+    label_smoothing: float = 0.1
+    embedding_size: int = 512
+    seed: int = 0
+
+
+def _embed_all(model, params, batch_stats, images_u8, batch=256):
+    """Embed a uint8 array in fixed-size batches (eval helper)."""
+    from facerecognition_tpu.ops.image import normalize_imagenet_style
+
+    @jax.jit
+    def fwd(imgs):
+        x = normalize_imagenet_style(imgs)
+        emb = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x
+        ).astype(jnp.float32)
+        return emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+        )
+
+    out = []
+    n = len(images_u8)
+    for i in range(0, n, batch):
+        chunk = np.asarray(images_u8[i : i + batch], np.float32)
+        if len(chunk) < batch:  # pad to keep one compiled shape
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - len(chunk),) + chunk.shape[1:], np.float32)]
+            )
+        out.append(np.asarray(fwd(jnp.asarray(chunk))))
+    return np.concatenate(out)[:n]
+
+
+def evaluate_retrieval(
+    train_emb, train_labels, val_emb, val_labels, n_ids
+) -> dict:
+    """Top-1/top-5 retrieval vs class prototypes + verification ROC/EER.
+
+    Mirrors what evaluate_arcface_kaggle.ipynb measures: gallery = per-class
+    mean prototypes of the train split, queries = val images.
+    """
+    from facerecognition_tpu.inference.evaluate import roc_eer, top_k_accuracy
+    from facerecognition_tpu.ops.matcher import compute_prototypes
+
+    protos = np.asarray(
+        compute_prototypes(
+            jnp.asarray(train_emb), jnp.asarray(train_labels), n_ids
+        )
+    )
+    scores = val_emb @ protos.T  # (Nv, C) cosine (all normalized)
+    out = top_k_accuracy(scores, val_labels, ks=(1, 5))
+
+    # Verification pairs: each consecutive same-id val pair positive, random
+    # different-id pairs negative (reference train_arcface.py:114-210 style).
+    rng = np.random.default_rng(0)
+    pos_a, pos_b, neg_a, neg_b = [], [], [], []
+    by_class: dict[int, list[int]] = {}
+    for i, lab in enumerate(val_labels):
+        by_class.setdefault(int(lab), []).append(i)
+    for lab, idxs in by_class.items():
+        for j in range(len(idxs) - 1):
+            pos_a.append(idxs[j])
+            pos_b.append(idxs[j + 1])
+    n_pairs = len(pos_a)
+    labs = np.asarray(val_labels)
+    for _ in range(n_pairs):
+        while True:
+            i, j = rng.integers(0, len(val_labels), 2)
+            if labs[i] != labs[j]:
+                neg_a.append(i)
+                neg_b.append(j)
+                break
+    pair_scores = np.concatenate(
+        [
+            np.sum(val_emb[pos_a] * val_emb[pos_b], axis=1),
+            np.sum(val_emb[neg_a] * val_emb[neg_b], axis=1),
+        ]
+    )
+    pair_labels = np.concatenate([np.ones(n_pairs), np.zeros(n_pairs)])
+    roc = roc_eer(pair_labels, pair_scores)
+    out.update(
+        {k: roc[k] for k in ("auc", "eer", "eer_threshold")}
+    )  # drop the fpr/tpr arrays — this dict is JSON-serialized
+    return out
+
+
+def train_synthid(config: SynthIdConfig, log=print):
+    """Train + evaluate; returns (variables, metrics_history, final_eval)."""
+    from facerecognition_tpu.training.synthetic_faces import identity_dataset
+
+    t0 = time.time()
+    log(f"rendering {config.n_ids} ids x "
+        f"{config.train_per_id + config.val_per_id} samples ...")
+    imgs, labels = identity_dataset(
+        config.n_ids,
+        config.train_per_id + config.val_per_id,
+        out_size=112,
+        seed=config.seed,
+    )
+    k = config.train_per_id + config.val_per_id
+    mask = (np.arange(len(imgs)) % k) < config.train_per_id
+    tr_imgs, tr_labels = imgs[mask], labels[mask]
+    va_imgs, va_labels = imgs[~mask], labels[~mask]
+    log(f"dataset: train {tr_imgs.shape} val {va_imgs.shape} "
+        f"({time.time()-t0:.0f}s)")
+
+    model = ArcFaceModel(
+        num_classes=config.n_ids,
+        embedding_size=config.embedding_size,
+        margin=config.margin,
+        scale=config.scale,
+        dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(config.seed)
+    variables = model.init(
+        rng, jnp.zeros((2, 112, 112, 3)), labels=jnp.zeros((2,), jnp.int32)
+    )
+    steps_per_epoch = len(tr_imgs) // config.batch_size
+    total_steps = steps_per_epoch * config.epochs
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, config.lr, min(total_steps // 20 + 1, 500), total_steps
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.add_decayed_weights(config.weight_decay),
+        optax.sgd(sched, momentum=config.momentum),
+    )
+    state = ArcFaceTrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+    # Margin ramp over the first 2 epochs stabilizes early training.
+    ramp = 2 * steps_per_epoch
+    margin_schedule = lambda s: config.margin * jnp.minimum(  # noqa: E731
+        s.astype(jnp.float32) / ramp, 1.0
+    )
+    raw_step = make_arcface_train_step(
+        model,
+        label_smoothing=config.label_smoothing,
+        margin_schedule=margin_schedule,
+    )
+
+    from facerecognition_tpu.data.augment import augment_batch
+
+    def step_with_aug(state, images_u8, labels, rng):
+        rng_aug, rng_step = jax.random.split(rng)
+        images = augment_batch(rng_aug, images_u8, "light")
+        images = (images / 255.0 - 0.5) / 0.5
+        return raw_step(state, images, labels, rng_step)
+
+    step_fn = jax.jit(step_with_aug, donate_argnums=(0,))
+
+    history = []
+    data_rng = np.random.default_rng(config.seed + 1)
+    key = jax.random.PRNGKey(config.seed + 2)
+    for epoch in range(config.epochs):
+        perm = data_rng.permutation(len(tr_imgs))
+        ep_loss = ep_acc = 0.0
+        te = time.time()
+        for s in range(steps_per_epoch):
+            sel = perm[s * config.batch_size : (s + 1) * config.batch_size]
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(
+                state,
+                jnp.asarray(np.asarray(tr_imgs[sel], np.float32)),
+                jnp.asarray(tr_labels[sel]),
+                sub,
+            )
+            ep_loss += float(metrics["loss"])
+            ep_acc += float(metrics["train_acc"])
+        row = {
+            "epoch": epoch,
+            "loss": ep_loss / steps_per_epoch,
+            "train_acc": ep_acc / steps_per_epoch,
+            "sec": round(time.time() - te, 1),
+        }
+        history.append(row)
+        log(f"epoch {epoch}: loss {row['loss']:.4f} "
+            f"train_acc {row['train_acc']:.3f} ({row['sec']}s)")
+    # Final evaluation through the eval suite.
+    tr_emb = _embed_all(
+        ArcFaceModel(embedding_size=config.embedding_size, dtype=jnp.float32),
+        state.params,
+        state.batch_stats,
+        tr_imgs,
+    )
+    va_emb = _embed_all(
+        ArcFaceModel(embedding_size=config.embedding_size, dtype=jnp.float32),
+        state.params,
+        state.batch_stats,
+        va_imgs,
+    )
+    final = evaluate_retrieval(tr_emb, tr_labels, va_emb, va_labels, config.n_ids)
+    log("final eval: " + json.dumps(final))
+    return (
+        {"params": state.params, "batch_stats": state.batch_stats},
+        history,
+        final,
+    )
+
+
+def main():
+    from facerecognition_tpu.utils.compile_cache import enable_compile_cache
+    from facerecognition_tpu.utils.serialization import save_variables
+
+    enable_compile_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-ids", type=int, default=500)
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--train-per-id", type=int, default=24)
+    ap.add_argument("--val-per-id", type=int, default=6)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--out", default="assets/arcface_synthid_512.msgpack")
+    ap.add_argument("--report", default="docs/SYNTHID_EVAL.json")
+    args = ap.parse_args()
+    config = SynthIdConfig(
+        n_ids=args.n_ids,
+        epochs=args.epochs,
+        train_per_id=args.train_per_id,
+        val_per_id=args.val_per_id,
+        batch_size=args.batch_size,
+        lr=args.lr,
+    )
+    variables, history, final = train_synthid(config)
+    # Strip the margin head: the serving checkpoint loads into
+    # ArcFaceModel(num_classes=None) via inference.load_arcface_model.
+    params = {k: v for k, v in variables["params"].items() if k != "arcface"}
+    save_variables(args.out, {"params": params, "batch_stats": variables["batch_stats"]})
+    with open(args.report, "w") as f:
+        json.dump(
+            {"config": dataclasses.asdict(config), "history": history,
+             "final": final},
+            f,
+            indent=2,
+        )
+    print(f"saved {args.out} and {args.report}")
+
+
+if __name__ == "__main__":
+    main()

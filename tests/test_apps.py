@@ -2,6 +2,7 @@
 
 import io
 import json
+import os
 import time
 
 import numpy as np
@@ -187,6 +188,44 @@ class TestWebApp:
         status, payload = Client(app).post_multipart("/", [("threshold", "0.5")])
         assert status.startswith("400")
 
+    def test_draw_faces_annotates(self, rng):
+        from facerecognition_tpu.apps.web_app import draw_faces
+
+        img = rng.integers(0, 256, (160, 160, 3), dtype=np.uint8)
+        faces = [
+            {"identity": "alice", "confidence": 0.91,
+             "bbox": [20, 20, 80, 80], "det_score": 0.9},
+            {"identity": "Unknown", "confidence": 0.1,
+             "bbox": [90, 90, 150, 150], "det_score": 0.7},
+        ]
+        out = draw_faces(img, faces)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert (out != img).any(), "annotation drew nothing"
+
+    def test_batch_html_view(self, app_and_registry, rng):
+        app, registry, engine, _ = app_and_registry
+        arr, png = png_bytes(rng)
+        engine.add_to_db("carl", [arr])
+        boundary = "testboundary42"
+        body = (
+            f'--{boundary}\r\nContent-Disposition: form-data; name="model"'
+            f"\r\n\r\narcface\r\n".encode()
+            + f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="images"; filename="c.png"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n".encode()
+            + png
+            + f"\r\n--{boundary}--\r\n".encode()
+        )
+        status, headers, data = Client(app).request(
+            "POST",
+            "/batch",
+            body,
+            content_type=f"multipart/form-data; boundary={boundary}",
+            accept="text/html",
+        )
+        assert status == "200 OK"
+        assert b"<table>" in data and b"carl" in data
+
     def test_batch(self, app_and_registry, rng):
         app, registry, engine, _ = app_and_registry
         rng.integers(0, 256, 7)  # advance past test_recognize_post's draws
@@ -283,11 +322,23 @@ class TestRealtime:
 class TestEngineRegistryDegradation:
     def test_missing_checkpoint_degrades_not_random(self):
         """No configured checkpoint → engine is None ('Model not loaded'),
-        never a random-init net serving confident identities (ADVICE r1)."""
+        never a random-init net serving confident identities (ADVICE r1).
+        Exception: arcface may fall back to the committed trained
+        assets/arcface_synthid_512.msgpack (trained weights, not random)."""
+        import facerecognition_tpu
         from facerecognition_tpu.apps.web_app import EngineRegistry
 
+        shipped = os.path.join(
+            os.path.dirname(os.path.dirname(facerecognition_tpu.__file__)),
+            "assets",
+            "arcface_synthid_512.msgpack",
+        )
         reg = EngineRegistry()  # no checkpoints configured
-        assert reg.get("arcface") is None
+        if os.path.exists(shipped):
+            eng = reg.get("arcface")
+            assert eng is not None  # shipped trained weights picked up
+        else:
+            assert reg.get("arcface") is None
         assert reg.get("facenet") is None
         reg2 = EngineRegistry(arcface_ckpt="/nonexistent/path.msgpack")
         assert reg2.get("arcface") is None

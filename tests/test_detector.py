@@ -96,6 +96,93 @@ class TestDetectorNet:
         assert scores.shape == valid.shape == (8,)
 
 
+class TestScoreCalibration:
+    def test_irls_recovers_logistic_params(self, rng):
+        """fit_score_calibration's IRLS core must recover a known (a, b)
+        mapping when TP/FP labels are drawn from that exact logistic."""
+        from facerecognition_tpu.training.train_detector import (
+            fit_score_calibration,
+        )
+
+        # Build a detector stub whose detections carry scores drawn so that
+        # P(tp | z) = sigmoid(2.5 z + 1.0); bypass rendering by monkeypatch.
+        true_a, true_b = 2.5, 1.0
+        z = rng.normal(size=4000) * 1.5 - 1.0
+        p = 1 / (1 + np.exp(-(true_a * z + true_b)))
+        y = rng.random(4000) < p
+
+        class Stub:
+            input_size = 128
+            confidence_threshold = 0.5
+            _calibration = None
+            _i = 0
+
+            def detect_all(self, img):
+                i, Stub._i = Stub._i, Stub._i + 1
+                if i >= 4000:
+                    return []
+                s = 1 / (1 + np.exp(-z[i]))
+                # TP → perfectly overlapping box; FP → far away.
+                box = [10, 10, 50, 50] if y[i] else [200, 200, 240, 240]
+                return [{"bbox": box, "confidence": s, "landmarks": None}]
+
+        import facerecognition_tpu.training.train_detector as td
+
+        orig = td.__dict__["fit_score_calibration"]
+
+        # Patch render_scene to always put one GT at [10,10,50,50].
+        import facerecognition_tpu.training.synthetic_faces as sf
+
+        def fake_render(rng_, size, max_faces, p_face=0.8):
+            boxes = np.zeros((4, 4), np.float32)
+            boxes[0] = [10, 10, 50, 50]
+            valid = np.zeros(4, bool)
+            valid[0] = True
+            return (
+                np.zeros((size, size, 3), np.uint8),
+                boxes,
+                np.zeros((4, 5, 2), np.float32),
+                valid,
+            )
+
+        real = sf.render_scene
+        sf.render_scene = fake_render
+        try:
+            a, b = orig(Stub(), n_scenes=4000)
+        finally:
+            sf.render_scene = real
+        assert abs(a - true_a) < 0.4, (a, b)
+        assert abs(b - true_b) < 0.3, (a, b)
+
+    def test_facedetector_applies_checkpoint_calibration(self, rng):
+        """A 'calibration' entry in the weights dict must reshape scores:
+        with a strong positive offset, raw mid scores pass a high thr."""
+        net = BlazeFaceNet()
+        variables = net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+        )
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        raw_det = FaceDetector(
+            input_size=64, weights=dict(variables), confidence_threshold=0.0,
+            min_face_size=0,
+        )
+        raw_faces = raw_det.detect_all(img)
+        cal_det = FaceDetector(
+            input_size=64,
+            weights={**dict(variables), "calibration": {"a": 1.0, "b": 5.0}},
+            confidence_threshold=0.0,
+            min_face_size=0,
+        )
+        assert cal_det._calibration == (1.0, 5.0)
+        cal_faces = cal_det.detect_all(img)
+        assert len(cal_faces) == len(raw_faces)
+        for r, c in zip(raw_faces, cal_faces):
+            s = np.clip(r["confidence"], 1e-9, 1 - 1e-9)
+            zr = np.log(s / (1 - s))
+            expect = 1 / (1 + np.exp(-(zr + 5.0)))
+            assert abs(c["confidence"] - expect) < 1e-6
+
+
 @pytest.mark.slow
 class TestSyntheticTraining:
     def test_learns_to_detect(self, rng):

@@ -98,6 +98,30 @@ class TestFusedPipeline:
         res = engine.fused_recognize_frames(imgs, k=1)
         assert all(len(r["faces"]) <= 1 for r in res)
 
+    def test_recognize_all_staged_multiface(self, stack, rng):
+        """Staged multi-face path (arbitrary image sizes — the web upload
+        route): every detected face comes back with identity+bbox."""
+        engine, detector = stack
+        for _ in range(12):
+            frame, gb, gl, gv = synthetic_face_batch(
+                rng, 1, 96, p_face=1.0, max_per_image=2
+            )
+            if gv[0].sum() < 2:
+                continue
+            res = engine.recognize_all(frame[0])
+            if len(res["faces"]) >= 2:
+                break
+        assert res["status"] == "success"
+        assert len(res["faces"]) >= 2
+        # enroll each face's embedding; re-run must return those identities
+        for j, f in enumerate(res["faces"][:2]):
+            engine.gallery.add(f"staged{j}", f["embedding"])
+        res2 = engine.recognize_all(frame[0])
+        ids = [f["identity"] for f in res2["faces"][:2]]
+        assert set(ids) == {"staged0", "staged1"}
+        for f in res2["faces"]:
+            assert len(f["bbox"]) == 4 and f["det_score"] > 0
+
     def test_fused_requires_gallery_and_detector(self, stack, rng):
         engine, detector = stack
         from tests.test_engine import SmallEmbedder
