@@ -80,7 +80,8 @@ def build_pipeline():
         x = normalize_imagenet_style(aligned)
         emb = model.apply(variables, x)
         emb = l2_normalize(emb.astype(jnp.float32))
-        # auto: dense matmul+top_k, or the Pallas streaming kernel ≥200k rows
+        # auto: dense matmul+top_k, or the Pallas streaming kernel when the
+        # (B, N) score matrix would pressure HBM (see ops/matcher.py)
         scores, idx = auto_cosine_topk(emb, gallery, 5)
         return scores, idx, det_scores
 
@@ -111,8 +112,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--gallery", type=int, default=10_000,
-                    help="identity count (1M engages the Pallas streaming "
-                    "top-k; see bench_gallery.py for match-only numbers)")
+                    help="identity count (see bench_gallery.py for "
+                    "match-only numbers at the 1M regime)")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=16)
     args = ap.parse_args()

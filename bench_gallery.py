@@ -2,11 +2,15 @@
 
 The design headline of this framework is that FAISS (reference
 inference/extract_embeddings.py:595-645) collapses to an MXU matmul +
-streaming top-k on TPU. This bench measures that claim where it matters —
-N = 1M gallery rows — engaging the Pallas streaming kernel
-(`ops/pallas_topk.py`, used automatically above
-``ops.matcher.PALLAS_TOPK_MIN_ROWS``) and parity-checking it against the
-dense XLA path on a subsample.
+top-k on TPU. This bench measures that claim where it matters — N = 1M
+gallery rows — timing BOTH the dense XLA path and the Pallas streaming
+kernel (`ops/pallas_topk.py`) and parity-checking them against each other.
+
+Measured (one v5e chip, N=1M, D=512, B=256, k=5): dense 18.1k q/s,
+pallas 11.9k q/s, top-1 agreement 1.0. Dense wins on speed until its
+(B, N) transient score matrix pressures HBM, so `auto_cosine_topk`
+switches to the streaming kernel on memory (DENSE_SCORES_MAX_BYTES),
+not on row count — the kernel is the capacity path.
 
 Methodology matches bench.py: timed work runs inside ONE jit via lax.scan
 with a checksum carried to host (tunnel-latency/elision-proof).

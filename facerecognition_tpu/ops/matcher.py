@@ -68,17 +68,25 @@ def cosine_topk(
 
 # Gallery size above which the Pallas fused matmul+top-k kernel wins (it
 # avoids materializing the (B, N) score matrix in HBM). Only on TPU.
-PALLAS_TOPK_MIN_ROWS = 200_000
+# When the dense path's transient (B, N) score matrix would exceed this
+# many bytes in HBM, switch to the Pallas streaming kernel (scores never
+# leave VMEM). Measured on one v5e chip at N=1M, B=256 (bench_gallery.py):
+# dense 18.1k q/s vs pallas 11.9k q/s with exact top-1 agreement — dense
+# WINS on speed until memory pressure, so the streaming kernel is the
+# capacity path (e.g. B=512 × N=4M → 8 GB scores would not fit next to a
+# multi-GB gallery), not the default.
+DENSE_SCORES_MAX_BYTES = 2 << 30  # 2 GiB
 
 
 def auto_cosine_topk(
     queries: jax.Array, gallery: jax.Array, k: int = 5
 ) -> tuple[jax.Array, jax.Array]:
-    """cosine_topk that switches to the Pallas streaming kernel for big
-    galleries on TPU (see ops/pallas_topk.py)."""
+    """cosine_topk that switches to the Pallas streaming kernel when the
+    dense score matrix would pressure HBM (see ops/pallas_topk.py)."""
     n = gallery.shape[0]
+    scores_bytes = queries.shape[0] * n * 4
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    if on_tpu and n >= PALLAS_TOPK_MIN_ROWS:
+    if on_tpu and scores_bytes > DENSE_SCORES_MAX_BYTES:
         from facerecognition_tpu.ops.pallas_topk import pallas_cosine_topk
 
         return pallas_cosine_topk(queries, gallery, k)
