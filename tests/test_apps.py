@@ -204,7 +204,9 @@ class TestWebApp:
 
     def test_batch_html_view(self, app_and_registry, rng):
         app, registry, engine, _ = app_and_registry
-        arr, png = png_bytes(rng)
+        # Unique image stream: the shared-seed rng would reproduce the exact
+        # arrays earlier tests enrolled under other names (cosine tie).
+        arr, png = png_bytes(np.random.default_rng(987123))
         engine.add_to_db("carl", [arr])
         boundary = "testboundary42"
         body = (

@@ -585,3 +585,50 @@ class TestPlateauWiring:
         # and train() records the applied scale each epoch
         hist = trainer.train()
         assert "lr_scale" in hist[0]
+
+
+@pytest.mark.slow
+class TestSynthIdTraining:
+    def test_smoke_train_and_eval(self, tmp_path):
+        """train_synthid end-to-end at toy scale: finite losses, rising
+        train accuracy signal, eval dict with the full metric set, and a
+        margin-head-free serving checkpoint."""
+        from facerecognition_tpu.training.train_synthid import (
+            SynthIdConfig,
+            train_synthid,
+        )
+
+        cfg = SynthIdConfig(
+            n_ids=8,
+            train_per_id=6,
+            val_per_id=2,
+            batch_size=16,
+            epochs=2,
+            lr=0.02,
+        )
+        variables, history, final = train_synthid(cfg, log=lambda *a: None)
+        assert len(history) == 2
+        assert all(np.isfinite(h["loss"]) for h in history)
+        for key in ("top_1_accuracy", "top_5_accuracy", "auc", "eer"):
+            assert key in final and np.isfinite(final[key])
+        assert "arcface" in variables["params"]  # margin head present here
+        # main() strips it for serving; emulate and load through the engine
+        from facerecognition_tpu.inference.extract_embeddings import (
+            load_arcface_model,
+        )
+        from facerecognition_tpu.utils.serialization import save_variables
+
+        params = {
+            k: v for k, v in variables["params"].items() if k != "arcface"
+        }
+        p = tmp_path / "synthid.msgpack"
+        save_variables(
+            str(p),
+            {"params": params, "batch_stats": variables["batch_stats"]},
+        )
+        emb = load_arcface_model(str(p))
+        out = emb.embed_uint8(
+            np.zeros((2, 112, 112, 3), np.float32)
+        )
+        assert out.shape == (2, 512)
+        assert np.isfinite(out).all()
