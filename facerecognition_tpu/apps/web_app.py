@@ -204,32 +204,56 @@ def recognize_with_model(registry: EngineRegistry, model_type: str, image: np.nd
             "top_k": [(str(l), d) for l, d in topk],
         }
     else:
-        res = engine.recognize(image)
-        result = {
-            "model": model_type,
-            "status": res["status"],
-            "identity": res["identity"],
-            "confidence": res["confidence"],
-            "top_k": [(n, float(s)) for n, s in res.get("top_k", [])],
-        }
-        if res.get("message"):
-            result["message"] = res["message"]
+        faces = None
         if getattr(engine, "detector", None) is not None:
-            # Per-face results for multi-face drawing (reference
-            # web_app.py:40-81 draws every detected face).
+            # ONE recognize_all pass serves both the per-face drawing list
+            # (reference web_app.py:40-81) and the headline identity — the
+            # staged path would otherwise run detect→align→embed→match
+            # twice per request.
             try:
-                all_faces = engine.recognize_all(image)
-                result["faces"] = [
+                faces = engine.recognize_all(image)["faces"]
+            except (ValueError, RuntimeError):
+                faces = None
+        if faces:
+            # Headline face mirrors detect() select_largest semantics.
+            best = (
+                max(
+                    faces,
+                    key=lambda f: (f["bbox"][2] - f["bbox"][0])
+                    * (f["bbox"][3] - f["bbox"][1]),
+                )
+                if engine.detector.select_largest
+                else faces[0]
+            )
+            result = {
+                "model": model_type,
+                "status": "success",
+                "identity": best["identity"],
+                "confidence": float(best["confidence"]),
+                "top_k": [(n, float(s)) for n, s in best.get("top_k", [])],
+                "faces": [
                     {
                         "identity": f["identity"],
                         "confidence": float(f["confidence"]),
                         "bbox": [float(v) for v in f["bbox"]],
                         "det_score": f["det_score"],
                     }
-                    for f in all_faces["faces"]
-                ]
-            except (ValueError, RuntimeError):
-                pass
+                    for f in faces
+                ],
+            }
+        else:
+            # No detections (or no detector): the staged recognize() keeps
+            # the reference's crop→resize fallback chain.
+            res = engine.recognize(image)
+            result = {
+                "model": model_type,
+                "status": res["status"],
+                "identity": res["identity"],
+                "confidence": res["confidence"],
+                "top_k": [(n, float(s)) for n, s in res.get("top_k", [])],
+            }
+            if res.get("message"):
+                result["message"] = res["message"]
     result["time_ms"] = (time.perf_counter() - t0) * 1e3
     return result
 

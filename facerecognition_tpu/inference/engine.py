@@ -90,6 +90,8 @@ class Gallery:
         embedding, matching repeated ``add`` semantics. 100k identities
         enroll in milliseconds (vs seconds of per-add concat churn).
         """
+        if len(names) == 0:
+            return
         embs = np.ascontiguousarray(embeddings, np.float32).reshape(
             len(names), -1
         )
@@ -354,16 +356,31 @@ class RecognitionEngine:
         )
         scores = np.asarray(scores)
         idx = np.asarray(idx)
-        det_scores = np.asarray(det_scores)
+        det_scores = np.asarray(det_scores, np.float64)
         boxes = np.asarray(boxes)
         valid = np.asarray(valid)
         emb = np.asarray(emb)
+        # Platt calibration lives host-side in FaceDetector._run; apply the
+        # same transform here so fused scores/thresholds agree with the
+        # staged detect_all path (monotone — NMS slot order is preserved).
+        cal = getattr(self.detector, "_calibration", None)
+        if cal is not None:
+            a_c, b_c = cal
+            s = np.clip(det_scores, 1e-9, 1 - 1e-9)
+            det_scores = 1.0 / (
+                1.0 + np.exp(-(a_c * np.log(s / (1.0 - s)) + b_c))
+            )
         conf_thr = self.detector.confidence_threshold
+        min_size = self.detector.min_face_size
         out = []
         for b in range(len(frames)):
             faces = []
             for m in range(det_scores.shape[1]):
                 if not valid[b, m] or det_scores[b, m] < conf_thr:
+                    continue
+                bw = boxes[b, m, 2] - boxes[b, m, 0]
+                bh = boxes[b, m, 3] - boxes[b, m, 1]
+                if min(bw, bh) < min_size:  # detect_all parity
                     continue
                 top = [
                     (self.gallery.names[int(i)], float(s))
@@ -456,18 +473,27 @@ class RecognitionEngine:
         dets = self.detector.detect_all(img)[:max_faces]
         if not dets:
             return {"status": "success", "faces": []}
+        from facerecognition_tpu.inference.extract_embeddings import _bucket
         from facerecognition_tpu.ops.warp_mxu import align_crop_mxu_batch
 
         size = self.embedder.config.input_size
         frame = jnp.asarray(np.asarray(img, np.float32))
-        lms = jnp.asarray(
-            np.stack([np.asarray(d["landmarks"], np.float32) for d in dets])
+        # Pad the face count to a batch bucket: align_crop_mxu_batch is
+        # jitted with the batch dim traced, so 2 faces then 3 faces would
+        # otherwise compile two warp graphs (CLAUDE.md recompile discipline).
+        n = len(dets)
+        nb = _bucket(n)
+        lms_np = np.zeros((nb, 5, 2), np.float32)
+        lms_np[:n] = np.stack(
+            [np.asarray(d["landmarks"], np.float32) for d in dets]
         )
         aligned = np.asarray(
             align_crop_mxu_batch(
-                jnp.broadcast_to(frame, (len(dets),) + frame.shape), lms, size
+                jnp.broadcast_to(frame, (nb,) + frame.shape),
+                jnp.asarray(lms_np),
+                size,
             )
-        )
+        )[:n]
         embs = self.embedder.embed_uint8(aligned)
         matches = (
             self.match(embs, k)

@@ -70,18 +70,24 @@ class FaceDetector:
 
         self.net = BlazeFaceNet(dtype=dtype)
         if weights is None and input_size == 128:
-            # Ship-with-repo checkpoint (synthetic-face pretraining,
-            # training/train_detector.py) so detect() works out of the box;
-            # train on a real face dataset for production accuracy.
-            default = os.path.join(
+            # Ship-with-repo checkpoints so detect() works out of the box.
+            # Prefer the trained+calibrated curriculum detector (v2 —
+            # docs/DETECTOR.md quality numbers apply to THIS one); fall
+            # back to the round-1 synthetic-blob checkpoint.
+            assets = os.path.join(
                 os.path.dirname(
                     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                 ),
                 "assets",
-                "detector_synthetic_128.msgpack",
             )
-            if os.path.exists(default):
-                weights = default
+            for name in (
+                "detector_v2_128.msgpack",
+                "detector_synthetic_128.msgpack",
+            ):
+                default = os.path.join(assets, name)
+                if os.path.exists(default):
+                    weights = default
+                    break
         self._calibration: Optional[tuple[float, float]] = None
         if weights is None:
             self.variables = self.net.init(

@@ -27,6 +27,27 @@ from facerecognition_tpu.ops.nms import iou_matrix
 MAX_GT = 4  # static per-image ground-truth face slots
 
 
+def _np_iou(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Host-side IoU of one xyxy box vs (N, 4) boxes — pure numpy.
+
+    The jitted ``ops.nms.iou_matrix`` pays a device dispatch round-trip per
+    call; in the host-side rejection/eval loops below that dominates
+    wall-clock on the high-latency tunnel, so these loops stay on numpy.
+    """
+    ix = np.maximum(
+        0.0,
+        np.minimum(box[2], boxes[:, 2]) - np.maximum(box[0], boxes[:, 0]),
+    )
+    iy = np.maximum(
+        0.0,
+        np.minimum(box[3], boxes[:, 3]) - np.maximum(box[1], boxes[:, 1]),
+    )
+    inter = ix * iy
+    area = (box[2] - box[0]) * (box[3] - box[1])
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / np.maximum(area + areas - inter, 1e-9)
+
+
 def anchor_default_boxes(anchors: jax.Array) -> jax.Array:
     """(A, 4) xyxy default boxes: base x base squares at anchor centers."""
     cx, cy, s = anchors[:, 0], anchors[:, 1], anchors[:, 2]
@@ -188,14 +209,7 @@ def synthetic_face_batch(
             cx = rng.uniform(r + 2, size - r - 2)
             cy = rng.uniform(r + 2, size - r - 2)
             box = np.array([cx - r, cy - 1.25 * r, cx + r, cy + 1.25 * r])
-            if slot and (
-                np.asarray(
-                    iou_matrix(
-                        jnp.asarray(box[None]), jnp.asarray(boxes[b, :slot])
-                    )
-                ).max()
-                > 0.05
-            ):
+            if slot and _np_iou(box, boxes[b, :slot]).max() > 0.05:
                 continue
             skin = np.array(
                 [
@@ -297,23 +311,27 @@ def train_detector_curriculum(
 
     q: "queue.Queue" = queue.Queue(maxsize=config.prefetch_threads * 2)
     stop = threading.Event()
+    producer_errors: list[BaseException] = []
 
     def producer(tid: int) -> None:
         rng = np.random.default_rng((config.seed, tid))
-        while not stop.is_set():
-            batch = scene_batch(
-                rng,
-                config.batch_size,
-                config.input_size,
-                config.max_faces,
-                config.p_face,
-            )
+        try:
             while not stop.is_set():
-                try:
-                    q.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                batch = scene_batch(
+                    rng,
+                    config.batch_size,
+                    config.input_size,
+                    config.max_faces,
+                    config.p_face,
+                )
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as exc:  # surface instead of a silent hang
+            producer_errors.append(exc)
 
     threads = [
         threading.Thread(target=producer, args=(t,), daemon=True)
@@ -330,7 +348,19 @@ def train_detector_curriculum(
     history = []
     try:
         for step in range(config.steps):
-            imgs, gb, gl, gv = q.get()
+            while True:
+                try:
+                    imgs, gb, gl, gv = q.get(timeout=2.0)
+                    break
+                except queue.Empty:
+                    if producer_errors:
+                        raise RuntimeError(
+                            "scene producer thread died"
+                        ) from producer_errors[0]
+                    if not any(t.is_alive() for t in threads):
+                        raise RuntimeError(
+                            "all scene producer threads exited"
+                        )
             state, metrics = step_fn(
                 state,
                 normalize(jnp.asarray(imgs.astype(np.uint8))),
@@ -385,9 +415,7 @@ def evaluate_detector(
             if len(gt) == 0:
                 n_fp += 1
                 continue
-            ious = np.asarray(
-                iou_matrix(jnp.asarray(db[None]), jnp.asarray(gt))
-            )[0]
+            ious = _np_iou(db, gt)
             ious = np.where(taken, 0.0, ious)
             j = int(np.argmax(ious))
             if ious[j] >= iou_match:
@@ -451,14 +479,7 @@ def fit_score_calibration(
                 z = float(np.log(s / (1.0 - s)))
                 tp = False
                 if len(gt):
-                    ious = np.asarray(
-                        iou_matrix(
-                            jnp.asarray(
-                                np.asarray(d["bbox"], np.float32)[None]
-                            ),
-                            jnp.asarray(gt),
-                        )
-                    )[0]
+                    ious = _np_iou(np.asarray(d["bbox"], np.float32), gt)
                     ious = np.where(taken, 0.0, ious)
                     j = int(np.argmax(ious))
                     if ious[j] >= iou_match:

@@ -96,6 +96,28 @@ class TestDetectorNet:
         assert scores.shape == valid.shape == (8,)
 
 
+class TestCurriculumRobustness:
+    def test_producer_death_raises_not_hangs(self, monkeypatch):
+        """A crashing scene producer must surface as an error, not an
+        eternal q.get() hang."""
+        import facerecognition_tpu.training.synthetic_faces as sf
+        from facerecognition_tpu.training.train_detector import (
+            CurriculumConfig,
+            train_detector_curriculum,
+        )
+
+        def boom(*a, **k):
+            raise RuntimeError("render exploded")
+
+        monkeypatch.setattr(sf, "scene_batch", boom)
+        with pytest.raises(RuntimeError, match="producer"):
+            train_detector_curriculum(
+                CurriculumConfig(
+                    input_size=64, batch_size=4, steps=2, prefetch_threads=2
+                )
+            )
+
+
 class TestScoreCalibration:
     def test_irls_recovers_logistic_params(self, rng):
         """fit_score_calibration's IRLS core must recover a known (a, b)

@@ -65,6 +65,12 @@ class TestGallery:
         assert not g.remove("zz")
         assert g.names == ["b"]
 
+    def test_add_many_empty_is_noop(self, rng):
+        g = Gallery(dim=8)
+        g.add("keep", rng.normal(size=8))
+        g.add_many([], np.zeros((0, 8), np.float32))
+        assert g.names == ["keep"]
+
     def test_add_many_matches_sequential_add(self, rng):
         embs = rng.normal(size=(6, 8)).astype(np.float32)
         names = [f"p{i}" for i in range(6)]

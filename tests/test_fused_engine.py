@@ -57,6 +57,55 @@ class TestFusedPipeline:
             assert r["bbox"] is not None
             assert len(r["top_k"]) == 3
 
+    def test_fused_applies_detector_calibration(self, stack, rng):
+        """With Platt calibration on the detector, the fused path must
+        threshold CALIBRATED scores like detect_all does — a strong
+        positive offset turns previous 'No face' frames into detections
+        at a high threshold, and reported det_scores match sigmoid(a z+b)."""
+        engine, detector = stack
+        imgs, gb, gl, gv = synthetic_face_batch(rng, 2, 96, p_face=1.0)
+        if not len(engine.gallery):
+            engine.add_to_db("cal0", [imgs[0].astype(np.uint8)])
+        old_cal = detector._calibration
+        old_thr = detector.confidence_threshold
+        try:
+            detector._calibration = None
+            detector.confidence_threshold = 0.2
+            raw = engine.fused_recognize_frames(imgs, k=1)
+            raw_scores = [
+                f["det_score"] for r in raw for f in r["faces"]
+            ]
+            assert raw_scores, "fixture detector found nothing"
+            # calibrated: huge offset → every raw score maps to ~1.0
+            detector._calibration = (1.0, 8.0)
+            detector.confidence_threshold = 0.95
+            cal = engine.fused_recognize_frames(imgs, k=1)
+            cal_scores = [
+                f["det_score"] for r in cal for f in r["faces"]
+            ]
+            assert len(cal_scores) >= len(raw_scores)
+            for s in cal_scores:
+                assert s > 0.95
+        finally:
+            detector._calibration = old_cal
+            detector.confidence_threshold = old_thr
+
+    def test_fused_respects_min_face_size(self, stack, rng):
+        """A min_face_size larger than any face suppresses every fused
+        detection (detect_all parity)."""
+        engine, detector = stack
+        imgs, gb, gl, gv = synthetic_face_batch(rng, 2, 96, p_face=1.0)
+        if not len(engine.gallery):
+            engine.add_to_db("ms0", [imgs[0].astype(np.uint8)])
+        old = detector.min_face_size
+        try:
+            detector.min_face_size = 10_000
+            res = engine.fused_recognize_frames(imgs, k=1)
+            assert all(r["identity"] == "No face" for r in res)
+            assert all(r["faces"] == [] for r in res)
+        finally:
+            detector.min_face_size = old
+
     def test_fused_multiface_two_identities(self, stack, rng):
         """A 2-face frame through the fused path returns 2 per-face results
         (reference web_app.py:40-81 draws every detected face)."""
