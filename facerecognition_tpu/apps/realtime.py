@@ -114,11 +114,23 @@ class RealtimeRecognizer:
             and len(getattr(self.engine, "gallery", [])) > 0
         ):
             try:
-                res = self.engine.fused_recognize_frames(frame[None])[0]
+                res = self.engine.fused_recognize_frames(
+                    frame[None], max_faces=4
+                )[0]
                 return {
                     "identity": res["identity"],
                     "confidence": res["confidence"],
                     "bbox": res["bbox"],
+                    # every detected face, for multi-face overlay
+                    # (reference draws each face, web_app.py:40-81)
+                    "faces": [
+                        {
+                            "identity": f["identity"],
+                            "confidence": float(f["confidence"]),
+                            "bbox": f["bbox"],
+                        }
+                        for f in res["faces"]
+                    ],
                     "time_ms": None,
                 }
             except (ValueError, RuntimeError):
@@ -182,8 +194,13 @@ class RealtimeRecognizer:
                 self._latest_frame = frame
                 result = dict(self._result)
             out = frame.copy()
-            if result.get("bbox") is not None:
-                x1, y1, x2, y2 = (int(round(v)) for v in result["bbox"])
+            boxes = [
+                f["bbox"]
+                for f in result.get("faces") or []
+                if f.get("bbox") is not None
+            ] or ([result["bbox"]] if result.get("bbox") is not None else [])
+            for bb in boxes:
+                x1, y1, x2, y2 = (int(round(v)) for v in bb)
                 x1, x2 = np.clip([x1, x2], 0, out.shape[1] - 1)
                 y1, y2 = np.clip([y1, y2], 0, out.shape[0] - 1)
                 out[y1:y2, x1 : x1 + 2] = (0, 255, 0)
