@@ -97,7 +97,10 @@ def augment_batch(rng: jax.Array, images: jax.Array, tier: str = "normal") -> ja
             keys[5], (b, 1, 1, 1), minval=-p["brightness"], maxval=p["brightness"]
         )
         contr = 1.0 + jax.random.uniform(
-            keys[5], (b, 1, 1, 1), minval=-p["contrast"], maxval=p["contrast"]
+            jax.random.fold_in(keys[5], 1),  # independent of brightness
+            (b, 1, 1, 1),
+            minval=-p["contrast"],
+            maxval=p["contrast"],
         )
         imgs = (imgs - 127.5) * contr + 127.5 + bright * 255.0
 

@@ -108,6 +108,10 @@ class CSVDataset(DatasetIndex):
         label_col = next((c for c in self.LABEL_COLS if c in df.columns), None)
         if path_col is None or label_col is None:
             if len(df.columns) >= 2:
+                # Layout 3 (headerless): pandas promoted the first DATA row
+                # to column names above — re-read without a header so that
+                # sample isn't silently dropped.
+                df = pd.read_csv(csv_path, header=None)
                 path_col, label_col = df.columns[0], df.columns[1]
             else:
                 raise ValueError(

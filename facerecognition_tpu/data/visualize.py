@@ -26,8 +26,10 @@ def visualize_batch(
     n = min(len(images), max_images)
     rows = 2 if augmented is not None else 1
     cols = n
-    fig, axes = plt.subplots(rows, cols, figsize=(1.6 * cols, 1.8 * rows))
-    axes = np.atleast_2d(axes)
+    fig, axes = plt.subplots(
+        rows, cols, figsize=(1.6 * cols, 1.8 * rows), squeeze=False
+    )  # squeeze=False keeps (rows, cols); atleast_2d would turn the n==1
+    # augmented case's (2,) into (1, 2) and break axes[1, 0]
     for i in range(n):
         ax = axes[0, i]
         ax.imshow(np.clip(images[i], 0, 255).astype(np.uint8))

@@ -144,14 +144,17 @@ def crop_with_margin(
     cy1 = y1 - my
     cw = bw + 2.0 * mx
     ch = bh + 2.0 * my
-    # Forward map: crop box → [0, target)² ; build it directly.
+    # Forward map: crop box → [0, target)², with cv2.resize's half-pixel
+    # sample centers (src = cx1 + (out+0.5)·cw/target − 0.5); a corner-
+    # anchored map would shift every sample 0.5·(1/s−1) source pixels off
+    # the reference crop_face = slice + cv2.resize result.
     sx = target_size / jnp.maximum(cw, 1e-6)
     sy = target_size / jnp.maximum(ch, 1e-6)
     m = jnp.array(
         [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=jnp.float32
     ) * jnp.stack([sx, sy])[:, None]
-    m = m.at[0, 2].set(-cx1 * sx)
-    m = m.at[1, 2].set(-cy1 * sy)
+    m = m.at[0, 2].set(-cx1 * sx + 0.5 * sx - 0.5)
+    m = m.at[1, 2].set(-cy1 * sy + 0.5 * sy - 0.5)
     return affine_warp(image, m, target_size, target_size)
 
 

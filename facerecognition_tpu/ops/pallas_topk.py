@@ -49,23 +49,24 @@ def _topk_tile_kernel(
     @pl.when(step == 0)
     def _():
         top_s[:] = jnp.full_like(top_s[:], NEG_INF)
-        top_i[:] = jnp.full_like(top_i[:], -1.0)
+        top_i[:] = jnp.full_like(top_i[:], -1)
 
     scores = jnp.dot(
         q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32
     )  # (B, T) on the MXU
 
     b = scores.shape[0]
-    base = (step * tile).astype(jnp.float32)
+    # Indices stay int32 end to end: float32 carries would silently round
+    # consecutive row ids above 2^24 (~16.7M) — exactly the gallery sizes
+    # this kernel exists for.
     tile_idx = (
-        jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1).astype(jnp.float32)
-        + base
+        jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1) + step * tile
     )
 
     # Padding rows (index >= n_real) must lose to ANY real score — a zero
     # vector's 0 cosine would otherwise beat negative real cosines and
     # evict real candidates from the running top-k irrecoverably.
-    scores = jnp.where(tile_idx < float(n_real), scores, NEG_INF)
+    scores = jnp.where(tile_idx < n_real, scores, NEG_INF)
 
     comb_s = jnp.concatenate([top_s[:], scores], axis=1)      # (B, K+T)
     comb_i = jnp.concatenate([top_i[:], tile_idx], axis=1)
@@ -77,7 +78,7 @@ def _topk_tile_kernel(
     for _ in range(k):  # static unroll
         m = jnp.max(comb_s, axis=1)                           # (B,)
         am = jnp.argmax(comb_s, axis=1)                       # (B,)
-        onehot = (col == am[:, None]).astype(jnp.float32)
+        onehot = (col == am[:, None]).astype(jnp.int32)
         picked_i = jnp.sum(onehot * comb_i, axis=1)
         new_s.append(m)
         new_i.append(picked_i)
@@ -88,7 +89,7 @@ def _topk_tile_kernel(
     @pl.when(step == n_steps - 1)
     def _():
         out_s_ref[:] = top_s[:]
-        out_i_ref[:] = top_i[:].astype(jnp.int32)
+        out_i_ref[:] = top_i[:]
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -140,7 +141,7 @@ def pallas_cosine_topk(
         ),
         scratch_shapes=[
             pltpu.VMEM((b, k), jnp.float32),
-            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_padded * d,

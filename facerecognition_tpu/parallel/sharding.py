@@ -33,11 +33,19 @@ def shard_batch(array: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
     return jax.device_put(array, NamedSharding(mesh, spec))
 
 
-def _local_then_global_topk(q, g_shard, k, axis_name):
+def _local_then_global_topk(q, g_shard, k, axis_name, n_real):
     """shard_map body: local matmul+topk, gather candidates, global topk."""
     n_local = g_shard.shape[0]
     my_idx = jax.lax.axis_index(axis_name)
     scores = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
+    # Padding sentinel rows (global id >= n_real) must lose to EVERY real
+    # row — their zero vectors score cosine 0, which would evict real
+    # negative-similarity matches from the top-k irrecoverably.
+    row = (
+        jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        + my_idx * n_local
+    )
+    scores = jnp.where(row < n_real, scores, -1e30)
     k_local = min(k, n_local)
     local_s, local_i = jax.lax.top_k(scores, k_local)  # (B, k_local)
     local_i = local_i + my_idx * n_local  # globalize row ids
@@ -46,6 +54,10 @@ def _local_then_global_topk(q, g_shard, k, axis_name):
     all_i = jax.lax.all_gather(local_i, axis_name, axis=1, tiled=True)
     final_s, pos = jax.lax.top_k(all_s, k)
     final_i = jnp.take_along_axis(all_i, pos, axis=1)
+    # Sentinel slots (only possible when k > n_real) clamp to row 0 so a
+    # caller indexing names[i] can never go out of bounds; their -1e30
+    # score keeps them below any threshold.
+    final_i = jnp.clip(final_i, 0, n_real - 1)
     return final_s, final_i
 
 
@@ -55,6 +67,7 @@ def sharded_topk(
     mesh: Mesh,
     k: int = 5,
     axis: str = "gallery",
+    n_real: Optional[int] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k cosine search over a row-sharded gallery.
 
@@ -71,9 +84,13 @@ def sharded_topk(
       (each shard contributes its own top-k).
     """
     q = l2_normalize(queries.astype(jnp.float32))
+    if n_real is None:
+        n_real = gallery_sharded.shape[0]
     fn = jax.jit(
         jax.shard_map(
-            partial(_local_then_global_topk, k=k, axis_name=axis),
+            partial(
+                _local_then_global_topk, k=k, axis_name=axis, n_real=n_real
+            ),
             mesh=mesh,
             in_specs=(P(), P(axis, None)),
             out_specs=(P(), P()),
@@ -116,8 +133,8 @@ class ShardedGallery:
         )
         pad = (-n) % self.axis_size
         if pad:
-            # Sentinel rows with all-zero vectors: cosine 0, never above a
-            # real match at any sane threshold; names guarded host-side.
+            # Zero sentinel rows; masked to -inf INSIDE the shard_map body
+            # (by global row id) so they can never beat a real match.
             norm = np.concatenate([norm, np.zeros((pad, self.dim), np.float32)])
         self.names = list(names)
         self._n_real = n
@@ -131,12 +148,11 @@ class ShardedGallery:
             return np.zeros((len(queries), 0)), np.zeros((len(queries), 0), int)
         k_eff = min(k, self._n_real)
         s, i = sharded_topk(
-            jnp.asarray(queries), self._matrix, self.mesh, k_eff, self.axis
+            jnp.asarray(queries),
+            self._matrix,
+            self.mesh,
+            k_eff,
+            self.axis,
+            n_real=self._n_real,
         )
-        s, i = np.asarray(s), np.asarray(i)
-        # Padding rows can only appear when k_eff > real rows in some shard;
-        # mask them out defensively.
-        valid = i < self._n_real
-        s = np.where(valid, s, -np.inf)
-        order = np.argsort(-s, axis=1)
-        return np.take_along_axis(s, order, 1), np.take_along_axis(i, order, 1)
+        return np.asarray(s), np.asarray(i)

@@ -230,6 +230,29 @@ class TestShardedGallery:
         scores, idx = sg.topk(mat[:2], k=5)
         assert (idx < n).all()
 
+    def test_padding_never_beats_negative_matches(self, rng):
+        """Zero sentinel rows (cosine 0) must not evict real rows whose
+        cosine to the query is NEGATIVE — the in-graph -inf mask pins
+        exactness, not just index validity."""
+        mesh = create_mesh(gallery=-1)
+        n, d = 9, 16  # 9 rows over 8 shards → padded to 16
+        base = rng.normal(size=d).astype(np.float32)
+        # All gallery rows anti-aligned with the query: every true cosine < 0.
+        mat = -np.abs(rng.normal(size=(n, 1))).astype(np.float32) * base
+        mat += 0.01 * rng.normal(size=(n, d)).astype(np.float32)
+        sg = ShardedGallery(mesh, dim=d)
+        sg.set_all([f"i{k}" for k in range(n)], mat)
+        scores, idx = sg.topk(base[None], k=5)
+        assert (idx < n).all()
+        assert (scores < 0).all(), (
+            f"sentinel 0-cosine leaked into top-k: {scores}"
+        )
+        # Exact: matches the dense reference ranking.
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qn = base / np.linalg.norm(base)
+        ref = np.argsort(-(qn @ norm.T))[:5]
+        np.testing.assert_array_equal(idx[0], ref)
+
 
 class TestEmbedderBuckets:
     def test_batch_larger_than_biggest_bucket(self, embedder, rng):

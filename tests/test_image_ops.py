@@ -113,3 +113,22 @@ class TestResizeAndMisc:
         ref_center = face_image[79:81, 79:81].mean()
         got_center = np.asarray(out)[55:57, 55:57].mean()
         assert abs(ref_center - got_center) < 40  # loose: interpolation
+
+    def test_crop_with_margin_matches_cv2_golden(self, face_image):
+        """Pin the reference crop_face semantics: integer slice + cv2.resize
+        (half-pixel centers). Integer-valued crop bounds isolate the resize
+        convention."""
+        # bbox (30,40,110,120), margin 0.25 → crop [10,130)x[20,140), 120².
+        bbox = jnp.array([30.0, 40.0, 110.0, 120.0])
+        out = np.asarray(
+            crop_with_margin(
+                jnp.asarray(face_image), bbox, margin=0.25, target_size=112
+            )
+        )
+        ref = cv2.resize(
+            face_image[20:140, 10:130].astype(np.float32),
+            (112, 112),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        assert np.mean(np.abs(out - ref)) < 1.0
+        assert np.max(np.abs(out - ref)) < 30  # isolated interp rounding

@@ -124,6 +124,18 @@ class TestDataLayer:
         assert len(ds2) == len(ds)
         assert ds2.num_classes == 6
 
+    def test_csv_headerless_keeps_first_row(self, image_tree, tmp_path):
+        """Layout 3 (two unnamed columns): the first data row must not be
+        consumed as a header."""
+        ds = FolderDataset(image_tree)
+        csv = tmp_path / "plain.csv"
+        with open(csv, "w") as f:
+            for p, l in zip(ds.paths, ds.labels):
+                f.write(f"{p},{ds.label_names[l]}\n")
+        ds2 = CSVDataset(str(csv))
+        assert len(ds2) == len(ds)
+        assert ds2.num_classes == ds.num_classes
+
     def test_splits_and_overlap_guard(self, image_tree):
         ds = FolderDataset(image_tree)
         tr, va = split_by_image(ds, 0.2)
