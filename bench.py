@@ -70,7 +70,7 @@ def build_pipeline():
         small = bilinear_resize_mxu_batch(frames, DET_SIZE, DET_SIZE, True)
         raw = det_net.apply(det_vars, small / 127.5 - 1.0)
         boxes, lms, det_scores, valid = detect_faces_batch(
-            raw, anchors, 0.3, DET_SIZE, 4
+            raw, anchors, 0.3, 4
         )
         # best face per frame → landmarks in frame coords (clamped so the
         # warp samples inside the frame regardless of detector training)
@@ -161,7 +161,7 @@ def main():
             )
             raw = det_net.apply(dv, small / 127.5 - 1.0)
             _, _, ds, valid = detect_faces_batch(
-                raw, jnp.asarray(anchor_centers(128)), 0.3, 128, 4
+                raw, jnp.asarray(anchor_centers(128)), 0.3, 4
             )
             best = np.clip(np.asarray(ds[:, 0]), 1e-9, 1 - 1e-9)
             if cal is not None:  # Platt calibration (see FaceDetector)

@@ -218,15 +218,34 @@ class RecognitionEngine:
 
     def extract_embedding(self, img_input) -> Optional[np.ndarray]:
         """Image → L2-normalized embedding (with optional detect+align)."""
+        emb, _ = self._extract_with_info(img_input)
+        return emb
+
+    def _extract_with_info(
+        self, img_input
+    ) -> tuple[Optional[np.ndarray], bool]:
+        """(embedding | None, face_found).
+
+        When a detector is configured but finds nothing, the WHOLE resized
+        image is embedded (the reference web app's align→crop→raw-resize
+        fallback chain, web_app.py:417-439) — callers surface
+        ``face_found=False`` so a wall photo doesn't masquerade as a
+        confidently recognized face.
+        """
         try:
             img = load_image(img_input)
         except (FileNotFoundError, OSError):
-            return None
+            return None, False
+        face_found = self.detector is None
         if self.detector is not None:
             aligned = self.detect_and_align(img)
             if aligned is not None:
                 img = aligned
-        return self.embedder.embed_uint8(np.asarray(img, np.float32)[None])[0]
+                face_found = True
+        return (
+            self.embedder.embed_uint8(np.asarray(img, np.float32)[None])[0],
+            face_found,
+        )
 
     def match(
         self, embeddings: np.ndarray, k: int = 5
@@ -291,7 +310,7 @@ class RecognitionEngine:
             raw = det.net.apply(det_vars, small / 127.5 - 1.0)
             boxes, lms, det_scores, valid = jax.vmap(
                 lambda r: detect_faces(
-                    r, det.anchors, det.iou_threshold, det_size, max_faces
+                    r, det.anchors, det.iou_threshold, max_faces
                 )
             )(raw)  # (B, M, 4), (B, M, 5, 2), (B, M), (B, M)
             scale = jnp.array([w / det_size, h / det_size], jnp.float32)
@@ -437,12 +456,18 @@ class RecognitionEngine:
             "embedding": None,
             "status": "success",
         }
-        embedding = self.extract_embedding(img_input)
+        embedding, face_found = self._extract_with_info(img_input)
         if embedding is None:
             result["status"] = "error"
             result["message"] = "Cannot extract embedding (no face or invalid image)"
             return result
         result["embedding"] = embedding
+        result["face_found"] = face_found
+        if not face_found:
+            result["message"] = (
+                "no face detected — embedded the full image "
+                "(reference fallback chain)"
+            )
         if len(self.gallery) == 0:
             result["status"] = "error"
             result["message"] = "No database loaded"

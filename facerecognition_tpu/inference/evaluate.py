@@ -216,8 +216,17 @@ def evaluate_recognition_engine(
     embs = engine.embedder.embed_uint8(images.astype(np.float32))
     matches = engine.match(embs, k=5)
     name_to_id = {n: i for i, n in enumerate(label_names)}
+    # Closed-set prediction = RAW top-1 gallery name (m[2][0][0]), not the
+    # engine-thresholded m[0]: using the thresholded identity would fold
+    # engine.threshold into accuracy AND make every sweep row below it a
+    # forced miss (double thresholding). The open-set behavior is measured
+    # separately by threshold_sweep over top_scores.
     y_pred = np.asarray(
-        [name_to_id.get(m[0], -1) for m in matches], np.int64
+        [
+            name_to_id.get(m[2][0][0], -1) if m[2] else -1
+            for m in matches
+        ],
+        np.int64,
     )
     top_scores = np.asarray([m[1] for m in matches])
 

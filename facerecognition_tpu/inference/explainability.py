@@ -79,7 +79,10 @@ class GradCAM:
             jnp.asarray(np.asarray(image, np.float32))
         )[None]
         if target_embedding is None:
-            target = jnp.zeros((1, 512), jnp.float32)
+            # Shape must match the model's embedding (the unused cos branch
+            # still traces — a hardcoded 512 breaks non-default sizes).
+            dim = getattr(self.model, "embedding_size", 512)
+            target = jnp.zeros((1, dim), jnp.float32)
             use_target = jnp.asarray(False)
         else:
             t = np.asarray(target_embedding, np.float32).reshape(1, -1)

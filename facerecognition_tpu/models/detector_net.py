@@ -113,13 +113,14 @@ def anchor_centers(input_size: int) -> np.ndarray:
     return np.concatenate(out).astype(np.float32)  # (A, 3): cx, cy, base
 
 
-@partial(jax.jit, static_argnums=(2,))
+@jax.jit
 def decode_predictions(
-    raw: jax.Array, anchors: jax.Array, input_size: int
+    raw: jax.Array, anchors: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Raw head output → (scores, boxes, landmarks) in input pixels.
 
-    raw: (A, 15); anchors: (A, 3) [cx, cy, base].
+    raw: (A, 15); anchors: (A, 3) [cx, cy, base] (already in pixels — the
+    decode needs no input_size).
     Returns scores (A,), boxes (A, 4) xyxy, landmarks (A, 5, 2).
     """
     scores = jax.nn.sigmoid(raw[:, 0])
@@ -135,12 +136,11 @@ def decode_predictions(
     return scores, boxes, landmarks
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(3,))
 def detect_faces(
     raw: jax.Array,
     anchors: jax.Array,
     iou_threshold: float,
-    input_size: int,
     max_faces: int = 16,
 ):
     """Full post-process for ONE image: decode → top-K prefilter → NMS.
@@ -148,7 +148,7 @@ def detect_faces(
     Returns (boxes (max_faces, 4), landmarks (max_faces, 5, 2),
     scores (max_faces,), valid (max_faces,)) — fixed shapes.
     """
-    scores, boxes, landmarks = decode_predictions(raw, anchors, input_size)
+    scores, boxes, landmarks = decode_predictions(raw, anchors)
     k = min(256, scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = boxes[top_idx]
@@ -164,5 +164,5 @@ def detect_faces(
 
 
 detect_faces_batch = jax.vmap(
-    detect_faces, in_axes=(0, None, None, None, None)
+    detect_faces, in_axes=(0, None, None, None)
 )

@@ -128,6 +128,12 @@ def chi2_alt_distances(query: jax.Array, gallery: jax.Array) -> jax.Array:
     return 2.0 * jnp.sum(jnp.where(den > 0, num / jnp.maximum(den, 1e-20), 0.0), axis=1)
 
 
+# Batched chi2 with the gallery as a traced ARGUMENT - jitting a closure
+# over the gallery inside predict_batch would retrace per call and bake the
+# full (N, F) gallery into the graph as a constant.
+_chi2_batch = jax.jit(jax.vmap(chi2_alt_distances, in_axes=(0, None)))
+
+
 class LBPHModel:
     """Stateful shell over the jitted LBPH ops (train / predict / save / load).
 
@@ -158,7 +164,12 @@ class LBPHModel:
         self._features_batch = jax.jit(
             jax.vmap(
                 lambda g: lbph_features(
-                    g, self.radius, self.neighbors, self.grid_x, self.grid_y
+                    g,
+                    self.radius,
+                    self.neighbors,
+                    self.grid_x,
+                    self.grid_y,
+                    self.num_patterns,  # 2^neighbors bins, not the 256 default
                 )
             )
         )
@@ -175,10 +186,12 @@ class LBPHModel:
 
     def train(self, images, labels) -> None:
         """(Re)train from a stack of same-size grayscale images."""
-        self.histograms = self._compute_histograms(images)
-        self.labels = np.asarray(labels, dtype=np.int64).reshape(-1)
-        if len(self.labels) != len(self.histograms):
+        hist = self._compute_histograms(images)
+        lab = np.asarray(labels, dtype=np.int64).reshape(-1)
+        if len(lab) != len(hist):  # validate BEFORE mutating state
             raise ValueError("images and labels length mismatch")
+        self.histograms = hist
+        self.labels = lab
 
     def update(self, images, labels) -> None:
         """Incrementally add samples (OpenCV ``update`` semantics)."""
@@ -200,6 +213,7 @@ class LBPHModel:
             self.neighbors,
             self.grid_x,
             self.grid_y,
+            self.num_patterns,
         )
         dists = np.asarray(chi2_alt_distances(feat, jnp.asarray(self.histograms)))
         best = int(np.argmin(dists))
@@ -223,6 +237,7 @@ class LBPHModel:
             self.neighbors,
             self.grid_x,
             self.grid_y,
+            self.num_patterns,
         )
         dists = np.asarray(chi2_alt_distances(feat, jnp.asarray(self.histograms)))
         best: dict[int, float] = {}
@@ -238,11 +253,8 @@ class LBPHModel:
         if self.histograms is None:
             raise RuntimeError("model not trained")
         feats = self._compute_histograms(images)
-        gallery = jnp.asarray(self.histograms)
         dists = np.asarray(
-            jax.jit(jax.vmap(lambda q: chi2_alt_distances(q, gallery)))(
-                jnp.asarray(feats)
-            )
+            _chi2_batch(jnp.asarray(feats), jnp.asarray(self.histograms))
         )
         best = np.argmin(dists, axis=1)
         conf = dists[np.arange(len(best)), best]

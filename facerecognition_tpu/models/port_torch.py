@@ -48,10 +48,6 @@ def _convert_entry(flat_key: str, value: np.ndarray):
     *mods, leaf = flat_key.split("/")
     if leaf == "num_batches_tracked":
         return None
-    is_bn = bool(re.search(r"(^|/)(bn\d?|.*_bn|downsample_bn|batchnorm)$", "/".join(mods))) or leaf in (
-        "running_mean",
-        "running_var",
-    )
     if leaf == "running_mean":
         return ("batch_stats", mods + ["mean"], value)
     if leaf == "running_var":

@@ -109,14 +109,16 @@ class FaceDetector:
             self._calibration = (float(cal["a"]), float(cal["b"]))
         self.anchors = jnp.asarray(anchor_centers(input_size))
 
-        size = input_size
-
-        def _detect(variables, image_f32):
-            # image: (H=size, W=size, 3) float [0,255] → normalized
+        def _detect(variables, image_f32, iou_threshold):
+            # image: (H=size, W=size, 3) float [0,255] → normalized.
+            # iou_threshold rides as a TRACED operand so mutating
+            # detector.iou_threshold takes effect (a closure capture would
+            # silently pin the first-trace value). max_faces shapes the
+            # output and stays fixed at construction.
             x = image_f32[None] / 127.5 - 1.0
             raw = self.net.apply(variables, x)[0]
             return detect_faces(
-                raw, self.anchors, self.iou_threshold, size, self.max_faces
+                raw, self.anchors, iou_threshold, self.max_faces
             )
 
         self._detect_jit = jax.jit(_detect)
@@ -130,7 +132,9 @@ class FaceDetector:
         img = jnp.asarray(np.asarray(image, np.float32))
         if (h, w) != (s, s):
             img = bilinear_resize(img, s, s)
-        boxes, lms, scores, valid = self._detect_jit(self.variables, img)
+        boxes, lms, scores, valid = self._detect_jit(
+            self.variables, img, jnp.float32(self.iou_threshold)
+        )
         boxes = np.asarray(boxes, np.float64)
         lms = np.asarray(lms, np.float64)
         scores = np.asarray(scores, np.float64)

@@ -19,6 +19,8 @@ def load_image(img_input: Union[str, "os.PathLike", np.ndarray, Any]) -> np.ndar
         arr = img_input
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
+        elif arr.ndim == 3 and arr.shape[2] == 4:
+            arr = arr[:, :, :3]  # drop alpha — contract is RGB HWC
         return to_uint8(arr)
     if hasattr(img_input, "convert"):  # PIL image
         return np.asarray(img_input.convert("RGB"))

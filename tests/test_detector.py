@@ -90,7 +90,7 @@ class TestDetectorNet:
     def test_detect_faces_shapes(self, rng):
         a = jnp.asarray(anchor_centers(128))
         raw = jnp.asarray(rng.normal(size=(len(a), 15)).astype(np.float32))
-        boxes, lms, scores, valid = detect_faces(raw, a, 0.3, 128, 8)
+        boxes, lms, scores, valid = detect_faces(raw, a, 0.3, 8)
         assert boxes.shape == (8, 4)
         assert lms.shape == (8, 5, 2)
         assert scores.shape == valid.shape == (8,)

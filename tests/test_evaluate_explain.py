@@ -94,6 +94,41 @@ class TestEngineEvaluation:
         text = open(report).read()
         assert "top_1_accuracy" in text and "AUC" in text
 
+    def test_closed_set_accuracy_independent_of_engine_threshold(self, rng):
+        """Closed-set metrics come from the RAW top-1, not the thresholded
+        identity — a high engine.threshold must not zero the accuracy
+        (double-thresholding bug)."""
+        from tests.test_engine import SmallEmbedder
+        from facerecognition_tpu.inference.engine import RecognitionEngine
+
+        eng = RecognitionEngine(embedder=SmallEmbedder(), threshold=0.999)
+        names = ["p0", "p1"]
+        base = {
+            n: rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+            for n in names
+        }
+        for n in names:
+            eng.add_to_db(n, [base[n]])
+        images = np.stack([base[n] for n in names])
+        labels = np.arange(2)
+        res = evaluate_recognition_engine(eng, images, labels, names)
+        # Self-queries score ~1.0 > any threshold anyway; add noisy queries
+        # that fall below 0.999 but are still top-1 correct.
+        noisy = np.stack(
+            [
+                np.clip(
+                    base[n].astype(int) + rng.integers(-30, 30, base[n].shape),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                for n in names
+            ]
+        )
+        res = evaluate_recognition_engine(
+            eng, np.concatenate([images, noisy]), np.tile(labels, 2), names
+        )
+        assert res["metrics"]["accuracy"] == 1.0
+
     def test_speed_measurement(self, rng):
         from tests.test_engine import SmallEmbedder
         from facerecognition_tpu.inference.engine import RecognitionEngine

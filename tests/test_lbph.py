@@ -163,6 +163,29 @@ class TestLBPHModel:
             correct += pred == c
         assert correct >= 2  # stripes dominate the histogram
 
+    def test_nondefault_neighbors_histograms_not_empty(self, rng):
+        """LBPHModel(neighbors=16) must histogram over 2^16 bins, not the
+        256 default (which silently one-hot-dropped codes >= 256 and left
+        histograms nearly empty)."""
+        images, labels = _synthetic_faces(rng)
+        model = LBPHModel(neighbors=16, grid_x=2, grid_y=2)
+        model.train(images, labels)
+        assert model.histograms.shape[1] == 2 * 2 * (2**16)
+        # Cell histograms still sum to ~1 (all pixels binned somewhere).
+        per_cell = model.histograms[0].reshape(4, -1).sum(axis=1)
+        np.testing.assert_allclose(per_cell, 1.0, atol=1e-4)
+        pred, conf = model.predict(images[0])
+        assert pred == labels[0] and conf < 1e-6  # exact self-match
+
+    def test_train_validates_before_mutating(self, rng):
+        images, labels = _synthetic_faces(rng)
+        model = LBPHModel()
+        model.train(images, labels)
+        with pytest.raises(ValueError):
+            model.train(images, labels[:2])
+        # state intact from the first train
+        assert len(model.histograms) == len(model.labels) == len(images)
+
     def test_threshold_unknown(self, rng):
         images, labels = _synthetic_faces(rng)
         model = LBPHModel(threshold=1e-9)
