@@ -24,6 +24,7 @@ facerecognition_tpu.apps.web_app`).
 from __future__ import annotations
 
 import base64
+import html
 import io
 import json
 import mimetypes
@@ -36,6 +37,12 @@ from typing import Any, Callable, Optional
 from urllib.parse import parse_qs
 
 import numpy as np
+
+
+def esc(v) -> str:
+    """HTML-escape user-controlled strings (filenames, identities,
+    messages) before interpolating into response markup."""
+    return html.escape(str(v), quote=True)
 
 
 # ---------------------------------------------------------------------------
@@ -61,6 +68,7 @@ class EngineRegistry:
             threshold=threshold,
         )
         self.detector = detector
+        self.lbph_label_map: dict[int, str] = {}
         self._engines: dict[str, Any] = {}
         self._lock = threading.Lock()
 
@@ -116,7 +124,26 @@ class EngineRegistry:
 
                 path = self.config["lbph_model_path"]
                 if path and os.path.exists(path):
-                    return LBPHModel.load(path)
+                    model = LBPHModel.load(path)
+                    # train_lbph writes label_map.npy next to the model —
+                    # load it so the UI shows names, not numeric labels
+                    # (reference behavior).
+                    lm_path = os.path.join(
+                        os.path.dirname(os.path.abspath(path)),
+                        "label_map.npy",
+                    )
+                    if os.path.exists(lm_path):
+                        raw = np.load(lm_path, allow_pickle=True)
+                        # Saved as a {int: name} dict (train_lbph.py:178).
+                        items = (
+                            raw.item().items()
+                            if raw.ndim == 0
+                            else enumerate(raw.tolist())
+                        )
+                        self.lbph_label_map = {
+                            int(k): str(v) for k, v in items
+                        }
+                    return model
                 return None
         except (OSError, ValueError):
             return None  # degrade like the reference ("Model not loaded")
@@ -196,12 +223,14 @@ def recognize_with_model(registry: EngineRegistry, model_type: str, image: np.nd
         gray = np.asarray(bilinear_resize(jnp.asarray(gray), size, size))
         label, conf = engine.predict(gray)
         topk = engine.predict_topk(gray, k=5)
+        lm = registry.lbph_label_map  # numeric label → name when available
+        name = lambda l: lm.get(int(l), str(l))  # noqa: E731
         result = {
             "model": model_type,
             "status": "success",
-            "identity": str(label) if label >= 0 else "Unknown",
+            "identity": name(label) if label >= 0 else "Unknown",
             "confidence": conf,  # LBPH: distance, lower = better
-            "top_k": [(str(l), d) for l, d in topk],
+            "top_k": [(name(l), d) for l, d in topk],
         }
     else:
         faces = None
@@ -295,16 +324,28 @@ def gradcam_overlays(registry: EngineRegistry, image: np.ndarray) -> dict[str, s
             FaceNetExplainabilityEngine,
         )
 
+        # Cache the explainability engines on the registry: constructing
+        # them per request would rebuild (and re-trace) the jitted grad
+        # closures every time.
+        cache = getattr(registry, "_explain_cache", None)
+        if cache is None:
+            cache = registry._explain_cache = {}
         arc = registry.get("arcface")
         if arc is not None:
-            exp = ExplainabilityEngine(arc.embedder, registry.detector)
-            r = exp.explain(image)
+            if "arcface" not in cache:
+                cache["arcface"] = ExplainabilityEngine(
+                    arc.embedder, registry.detector
+                )
+            r = cache["arcface"].explain(image)
             if r is not None:
                 out["arcface"] = _b64_png(r["overlay"])
         fn = registry.get("facenet")
         if fn is not None:
-            exp = FaceNetExplainabilityEngine(fn.embedder, registry.detector)
-            r = exp.explain(image)
+            if "facenet" not in cache:
+                cache["facenet"] = FaceNetExplainabilityEngine(
+                    fn.embedder, registry.detector
+                )
+            r = cache["facenet"].explain(image)
             if r is not None:
                 out["facenet"] = _b64_png(r["overlay"])
     except (ValueError, RuntimeError):
@@ -454,7 +495,14 @@ def create_app(
                 return respond_json(
                     start_response, {"error": "invalid image"}, "400 Bad Request"
                 )
-            threshold = float((fields.get("threshold") or ["0.5"])[0])
+            try:
+                threshold = float((fields.get("threshold") or ["0.5"])[0])
+            except ValueError:
+                return respond_json(
+                    start_response,
+                    {"error": "invalid threshold"},
+                    "400 Bad Request",
+                )
             for m in ("arcface", "facenet"):
                 eng = registry.get(m)
                 if eng is not None:
@@ -469,10 +517,10 @@ def create_app(
             if "text/html" in environ.get("HTTP_ACCEPT", ""):
                 cards = []
                 for m, r in results.items():
-                    ident = r.get("identity", "?")
+                    ident = esc(r.get("identity", "?"))
                     cls = "id unknown" if ident in ("Unknown", "No face") else "id"
                     topk_rows = "".join(
-                        f"<tr><td>{n}</td><td>{s:.4f}</td></tr>"
+                        f"<tr><td>{esc(n)}</td><td>{s:.4f}</td></tr>"
                         for n, s in r.get("top_k", [])[:5]
                     )
                     table = (
@@ -482,7 +530,7 @@ def create_app(
                         else ""
                     )
                     msg = (
-                        f"<div class=meta>{r['message']}</div>"
+                        f"<div class=meta>{esc(r['message'])}</div>"
                         if r.get("message")
                         else ""
                     )
@@ -495,7 +543,7 @@ def create_app(
                         )
                         if len(r["faces"]) > 1:
                             face_rows = "".join(
-                                f"<tr><td>{f['identity']}</td>"
+                                f"<tr><td>{esc(f['identity'])}</td>"
                                 f"<td>{f['confidence']:.4f}</td>"
                                 f"<td>{f['det_score']:.2f}</td></tr>"
                                 for f in r["faces"]
@@ -533,12 +581,14 @@ def create_app(
             files = [
                 f for f in fields.get("images", []) if isinstance(f, dict)
             ]
-            images, names = [], []
+            images, names, failed = [], [], []
             for f in files:
                 img = _decode_image(f["data"])
                 if img is not None:
                     images.append(img)
                     names.append(f["filename"])
+                else:
+                    failed.append(f["filename"])  # report, don't drop
             engine = registry.get(model)
             if engine is None or model == "lbph":
                 results = [
@@ -562,10 +612,20 @@ def create_app(
                 "results": [
                     {"filename": n, **r} for n, r in zip(names, results)
                 ]
+                + [
+                    {
+                        "filename": n,
+                        "status": "error",
+                        "identity": "?",
+                        "message": "invalid image",
+                    }
+                    for n in failed
+                ]
             }
             if "text/html" in environ.get("HTTP_ACCEPT", ""):
                 rows = "".join(
-                    f"<tr><td>{e['filename']}</td><td>{e.get('identity', '?')}"
+                    f"<tr><td>{esc(e['filename'])}</td>"
+                    f"<td>{esc(e.get('identity', '?'))}"
                     f"</td><td>{e.get('confidence', 0):.4f}</td>"
                     f"<td>{e.get('time_ms', 0):.1f}</td></tr>"
                     for e in payload["results"]
@@ -629,10 +689,17 @@ def create_app(
                     {"error": f"unknown model {model}"},
                     "400 Bad Request",
                 )
+            engine = registry.get(model)
+            if engine is None:
+                return respond_json(
+                    start_response,
+                    {"error": f"model {model} not loaded"},
+                    "400 Bad Request",
+                )
             with state_lock:
                 state["realtime_model"] = model
                 if state["realtime"] is not None:
-                    state["realtime"].engine = registry.get(model)
+                    state["realtime"].engine = engine
             return respond_json(start_response, {"status": "ok", "model": model})
 
         # -- database builder --------------------------------------------
@@ -715,11 +782,24 @@ def main(argv: Optional[list[str]] = None):
         "(first-request latency otherwise pays model init + compile)",
     )
     args = parser.parse_args(argv)
+    # The detector is first-class app wiring: without it recognize_all /
+    # multi-face drawing / realtime fused serving / aligned Grad-CAM all
+    # silently degrade to whole-image embedding.
+    try:
+        from facerecognition_tpu.preprocessing.face_detector import (
+            FaceDetector,
+        )
+
+        detector = FaceDetector(confidence_threshold=0.5)
+    except Exception as exc:  # degrade loudly, not fatally
+        print(f"warning: face detector unavailable ({exc})")
+        detector = None
     registry = EngineRegistry(
         arcface_ckpt=args.arcface_ckpt,
         facenet_ckpt=args.facenet_ckpt,
         lbph_model_path=args.lbph_model,
         gallery_path=args.gallery,
+        detector=detector,
     )
     app = create_app(registry)
     if args.warmup:

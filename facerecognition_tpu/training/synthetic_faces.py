@@ -476,6 +476,7 @@ def render_scene(
     Returns (img (S, S, 3) f32 RGB 0..255, boxes (MAX_GT, 4), lms
     (MAX_GT, 5, 2), valid (MAX_GT,) bool).
     """
+    max_faces = min(max_faces, MAX_GT)  # GT arrays have MAX_GT slots
     canvas = _background(rng, size)
     boxes = np.zeros((MAX_GT, 4), np.float32)
     lms = np.zeros((MAX_GT, 5, 2), np.float32)

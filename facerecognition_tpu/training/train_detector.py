@@ -81,14 +81,20 @@ def assign_targets(
 
     best_gt = jnp.argmax(iou, axis=1)  # (A,)
     best_iou = jnp.max(iou, axis=1)
-    # Force-match: the best anchor per GT is positive.
-    best_anchor_per_gt = jnp.argmax(iou, axis=0)  # (G,)
-    forced = jnp.zeros(anchors.shape[0], bool)
-    forced = forced.at[best_anchor_per_gt].set(gt_valid)
+    # Force-match: the best anchor per GT is positive. Invalid (padding)
+    # GTs all argmax to anchor 0 (their IoU row is zeroed) — scattering
+    # them would race real GTs at that anchor and could erase a face's
+    # guaranteed positive, so route them OUT OF RANGE (dropped scatter).
+    n_anchor = anchors.shape[0]
+    best_anchor_per_gt = jnp.where(
+        gt_valid, jnp.argmax(iou, axis=0), n_anchor
+    )  # (G,)
+    forced = jnp.zeros(n_anchor, bool)
+    forced = forced.at[best_anchor_per_gt].set(True, mode="drop")
     # Forced anchors adopt their GT.
-    forced_gt = jnp.zeros(anchors.shape[0], jnp.int32)
+    forced_gt = jnp.zeros(n_anchor, jnp.int32)
     forced_gt = forced_gt.at[best_anchor_per_gt].set(
-        jnp.arange(MAX_GT, dtype=jnp.int32)
+        jnp.arange(MAX_GT, dtype=jnp.int32), mode="drop"
     )
     pos = (best_iou > 0.5) | forced
     gt_idx = jnp.where(forced, forced_gt, best_gt)

@@ -157,7 +157,13 @@ def train_synthid(config: SynthIdConfig, log=print):
     variables = model.init(
         rng, jnp.zeros((2, 112, 112, 3)), labels=jnp.zeros((2,), jnp.int32)
     )
-    steps_per_epoch = len(tr_imgs) // config.batch_size
+    steps_per_epoch = max(len(tr_imgs) // config.batch_size, 1)
+    if len(tr_imgs) < config.batch_size:
+        raise ValueError(
+            f"train set ({len(tr_imgs)}) smaller than batch_size "
+            f"({config.batch_size}) — raise --n-ids/--train-per-id or "
+            "lower --batch-size"
+        )
     total_steps = steps_per_epoch * config.epochs
     sched = optax.warmup_cosine_decay_schedule(
         0.0, config.lr, min(total_steps // 20 + 1, 500), total_steps

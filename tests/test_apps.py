@@ -228,6 +228,56 @@ class TestWebApp:
         assert status == "200 OK"
         assert b"<table>" in data and b"carl" in data
 
+    def test_html_responses_escape_user_strings(self, app_and_registry, rng):
+        """Reflected-XSS guard: a hostile filename must come back escaped
+        in the batch HTML view."""
+        app, *_ = app_and_registry
+        _, png = png_bytes(np.random.default_rng(55))
+        evil = '<img src=x onerror=alert(1)>.png'
+        boundary = "xssb"
+        body = (
+            f'--{boundary}\r\nContent-Disposition: form-data; name="model"'
+            f"\r\n\r\narcface\r\n".encode()
+            + f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="images"; filename="{evil}"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n".encode()
+            + png
+            + f"\r\n--{boundary}--\r\n".encode()
+        )
+        status, headers, data = Client(app).request(
+            "POST",
+            "/batch",
+            body,
+            content_type=f"multipart/form-data; boundary={boundary}",
+            accept="text/html",
+        )
+        assert status == "200 OK"
+        assert b"<img src=x onerror" not in data
+        assert b"&lt;img" in data
+
+    def test_batch_reports_undecodable_uploads(self, app_and_registry, rng):
+        app, *_ = app_and_registry
+        _, png = png_bytes(np.random.default_rng(56))
+        status, payload = Client(app).post_multipart(
+            "/batch",
+            [
+                ("model", "arcface"),
+                ("images", ("ok.png", png)),
+                ("images", ("broken.png", b"not an image")),
+            ],
+        )
+        rows = {e["filename"]: e for e in payload["results"]}
+        assert "broken.png" in rows
+        assert rows["broken.png"]["status"] == "error"
+
+    def test_bad_threshold_is_400(self, app_and_registry, rng):
+        app, *_ = app_and_registry
+        _, png = png_bytes(np.random.default_rng(57))
+        status, payload = Client(app).post_multipart(
+            "/", [("threshold", "abc"), ("image", ("a.png", png))]
+        )
+        assert status.startswith("400")
+
     def test_batch(self, app_and_registry, rng):
         app, registry, engine, _ = app_and_registry
         rng.integers(0, 256, 7)  # advance past test_recognize_post's draws
