@@ -12,7 +12,12 @@ per-dispatch latency and untrustworthy buffer-ready signals):
 - the measured loop runs INSIDE one jit via lax.scan over pre-staged frame
   batches, so device work is timed, not dispatch round-trips;
 - a checksum threads through the scan carry and is fetched to host, so no
-  iteration can be elided or overlapped out of the measurement.
+  iteration can be elided or overlapped out of the measurement;
+- frames are RENDERED FACE SCENES (training/synthetic_faces) run through
+  the shipped TRAINED detector+embedder weights, and the JSON line carries
+  the calibrated mean detection score on those exact inputs — the number
+  describes a detecting, recognizing pipeline, not a fast graph over
+  noise (--noise restores random frames for ablation).
 """
 
 import argparse
