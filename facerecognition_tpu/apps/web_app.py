@@ -89,9 +89,10 @@ class EngineRegistry:
                 )
 
                 ckpt = self.config[f"{model_type}_ckpt"]
-                if not ckpt and model_type == "arcface":
-                    # Ship-with-repo trained checkpoint (synthetic-identity
-                    # curriculum, training/train_synthid.py) so the app
+                if not ckpt:
+                    # Ship-with-repo trained checkpoints (synthetic-identity
+                    # curriculum: training/train_synthid.py for ArcFace,
+                    # training/train_facenet.py for FaceNet) so the app
                     # serves real weights out of the box.
                     default = os.path.join(
                         os.path.dirname(
@@ -100,7 +101,7 @@ class EngineRegistry:
                             )
                         ),
                         "assets",
-                        "arcface_synthid_512.msgpack",
+                        f"{model_type}_synthid_512.msgpack",
                     )
                     if os.path.exists(default):
                         ckpt = default

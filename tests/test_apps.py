@@ -375,22 +375,21 @@ class TestEngineRegistryDegradation:
     def test_missing_checkpoint_degrades_not_random(self):
         """No configured checkpoint → engine is None ('Model not loaded'),
         never a random-init net serving confident identities (ADVICE r1).
-        Exception: arcface may fall back to the committed trained
-        assets/arcface_synthid_512.msgpack (trained weights, not random)."""
+        Exception: the committed trained assets/<model>_synthid_512.msgpack
+        checkpoints are picked up (trained weights, not random)."""
         import facerecognition_tpu
         from facerecognition_tpu.apps.web_app import EngineRegistry
 
-        shipped = os.path.join(
+        assets = os.path.join(
             os.path.dirname(os.path.dirname(facerecognition_tpu.__file__)),
             "assets",
-            "arcface_synthid_512.msgpack",
         )
         reg = EngineRegistry()  # no checkpoints configured
-        if os.path.exists(shipped):
-            eng = reg.get("arcface")
-            assert eng is not None  # shipped trained weights picked up
-        else:
-            assert reg.get("arcface") is None
-        assert reg.get("facenet") is None
+        for model in ("arcface", "facenet"):
+            shipped = os.path.join(assets, f"{model}_synthid_512.msgpack")
+            if os.path.exists(shipped):
+                assert reg.get(model) is not None  # shipped weights
+            else:
+                assert reg.get(model) is None
         reg2 = EngineRegistry(arcface_ckpt="/nonexistent/path.msgpack")
         assert reg2.get("arcface") is None
