@@ -13,10 +13,9 @@ different from ResNet's 1e-5).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -157,11 +156,12 @@ class InceptionResnetV1(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_feature_map: bool = False):
-        if x.shape[1] < 71 or x.shape[2] < 71:
-            # Below 71px the VALID-padded reductions produce zero-size maps
-            # (silent NaNs from the empty global pool).
+        if x.shape[1] < 75 or x.shape[2] < 75:
+            # Below 75px the VALID-padded reduction chain bottoms out in a
+            # zero-size feature map at mixed_7a (verified: 71-74px inputs
+            # return all-NaN embeddings from the empty global pool).
             raise ValueError(
-                f"InceptionResnetV1 needs inputs >= 71px, got {x.shape[1:3]} "
+                f"InceptionResnetV1 needs inputs >= 75px, got {x.shape[1:3]} "
                 "(the FaceNet contract is 160x160)"
             )
         x = x.astype(self.dtype)

@@ -7,8 +7,9 @@ mirrors the torch state-dict keys so `models/port_torch.py` can remap
 pretrained checkpoints mechanically.
 
 TPU notes: data layout is NHWC (lane dim = channels), compute dtype is
-configurable (bfloat16 by default for MXU throughput) while params and batch
-norm statistics stay float32.
+configurable and DEFAULTS TO float32 (bf16 convs are pathological on this
+backend — see CLAUDE.md; f32 convs already hit the fast MXU mode) while
+params and batch norm statistics stay float32.
 """
 
 from __future__ import annotations

@@ -56,8 +56,8 @@ def nms_padded(
     k = boxes.shape[0]
     iou = iou_matrix(boxes, boxes)  # (K, K)
 
-    def body(_, carry):
-        alive_scores, out_idx, out_valid, step = carry
+    def body(step, carry):
+        alive_scores, out_idx, out_valid = carry
         best = jnp.argmax(alive_scores)
         best_score = alive_scores[best]
         keep = best_score > 0.0
@@ -70,13 +70,12 @@ def nms_padded(
         alive_scores = jnp.where(
             keep & suppress, -jnp.inf, alive_scores
         )
-        return alive_scores, out_idx, out_valid, step + 1
+        return alive_scores, out_idx, out_valid
 
     init = (
         jnp.where(scores > 0, scores, -jnp.inf),
         jnp.full((max_out,), -1, jnp.int32),
         jnp.zeros((max_out,), bool),
-        0,
     )
-    _, out_idx, out_valid, _ = jax.lax.fori_loop(0, max_out, body, init)
+    _, out_idx, out_valid = jax.lax.fori_loop(0, max_out, body, init)
     return out_idx, out_valid

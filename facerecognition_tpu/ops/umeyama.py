@@ -62,9 +62,7 @@ def umeyama(src: jax.Array, dst: jax.Array) -> jax.Array:
 
     # Reflection guard: force det(R) = +1.
     d_sign = jnp.sign(jnp.linalg.det(u) * jnp.linalg.det(vt))
-    d = jnp.array([1.0, 1.0]) * jnp.array([1.0, 0.0]) + jnp.array(
-        [0.0, 1.0]
-    ) * d_sign
+    d = jnp.array([1.0, 0.0]) + jnp.array([0.0, 1.0]) * d_sign  # [1, ±1]
     rot = jnp.dot(u * d[None, :], vt, precision=jax.lax.Precision.HIGHEST)
 
     var_src = jnp.mean(jnp.sum(src_c * src_c, axis=1))

@@ -29,7 +29,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from facerecognition_tpu.ops.umeyama import ARCFACE_TEMPLATE, invert_affine, umeyama
+from facerecognition_tpu.ops.umeyama import (
+    ARCFACE_TEMPLATE,
+    invert_affine,
+    umeyama_batch,
+)
 
 
 def _interp_weights(positions: jax.Array, n_src: int) -> jax.Array:
@@ -66,7 +70,7 @@ def affine_warp_mxu_batch(
         ``cv2.warpAffine`` / ``ops.image.affine_warp``).
       out_h, out_w: output size.
       chunk: images per lax.map step (bounds the (chunk, W, out_h, H)
-        weight-tensor working set; 16 → ~90 MB for 160² sources).
+        weight-tensor working set; 16 → ~183 MB f32 / ~92 MB on the fast=True bf16 path for 160² sources).
       fast: run the einsums with bf16 operands (f32 accumulation). uint8
         pixel values are exactly representable in bf16; only the
         interpolation weights quantize (2^-8 relative ≈ 0.4% → ≤1 intensity
@@ -84,8 +88,12 @@ def affine_warp_mxu_batch(
         minv = jax.vmap(invert_affine)(m.astype(jnp.float32))  # (k, 2, 3)
         m00, m01, m02 = minv[:, 0, 0], minv[:, 0, 1], minv[:, 0, 2]
         m10, m11, m12 = minv[:, 1, 0], minv[:, 1, 1], minv[:, 1, 2]
-        # Guard m00 ~ 0 (≥90° rotation unsupported; keep finite).
-        m00_safe = jnp.where(jnp.abs(m00) < 1e-6, 1e-6, m00)
+        # Guard m00 ~ 0 (≥90° rotation unsupported; keep finite) —
+        # sign-preserving, else a tiny NEGATIVE m00 would flip the shear
+        # coefficient's sign instead of clamping its magnitude.
+        m00_safe = jnp.where(
+            jnp.abs(m00) < 1e-6, jnp.where(m00 < 0, -1e-6, 1e-6), m00
+        )
         bb = m10 / m00_safe
         aa = m11 - bb * m01
         cc = m12 - bb * m02
@@ -197,7 +205,5 @@ def align_crop_mxu_batch(
 ) -> jax.Array:
     """Batched 5-point alignment on the MXU path (landmarks (B, 5, 2))."""
     template = jnp.asarray(ARCFACE_TEMPLATE) * (out_size / 112.0)
-    ms = jax.vmap(lambda lm: umeyama(lm, template))(
-        landmarks.astype(jnp.float32)
-    )
+    ms = umeyama_batch(landmarks.astype(jnp.float32), template)
     return affine_warp_mxu_batch(images, ms, out_size, out_size, 16, fast)
