@@ -81,7 +81,10 @@ def main(argv=None):
         train_gray = []
         train_labels = []
         for c in np.unique(labels):
-            idx = np.flatnonzero(labels == c)[: max(1, 2)]
+            # Deliberate low-shot regime: 2 training images/class (the
+            # embedding models enroll prototypes, LBPH memorizes samples —
+            # docs/COMPARISON.md reports it as such).
+            idx = np.flatnonzero(labels == c)[:2]
             for i in idx:
                 img = _load_resize(index.paths[i], 100)
                 g = np.asarray(

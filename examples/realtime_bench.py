@@ -60,9 +60,13 @@ def main(argv=None):
     def one_frame(frame):
         small = bilinear_resize_mxu_batch(frame[None], DET, DET)[0]
         raw = det_net.apply(det_vars, (small / 127.5 - 1.0)[None])[0]
-        boxes, lms, det_scores, valid = detect_faces(raw, anchors, 0.3, DET, 4)
+        boxes, lms, det_scores, valid = detect_faces(raw, anchors, 0.3, 4)
+        # per-axis clip — a single min(h,w) bound would cap x at h-1 on a
+        # wide frame, collapsing landmarks for faces in the right portion
         lm = jnp.clip(
-            lms[0] * jnp.array([w / DET, h / DET]), 0.0, min(h, w) - 1.0
+            lms[0] * jnp.array([w / DET, h / DET]),
+            0.0,
+            jnp.array([w - 1.0, h - 1.0]),
         )
         aligned = align_crop_mxu_batch(frame[None], lm[None], 112)
         x = normalize_imagenet_style(aligned)

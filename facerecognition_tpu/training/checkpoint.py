@@ -39,12 +39,20 @@ class CheckpointManager:
         return os.path.join(self.directory, f"ckpt_{tag}.meta.json")
 
     def save(self, tag: str, state_tree: Any, metadata: Optional[dict] = None) -> None:
+        # Write-then-rename: deleting the old checkpoint before writing the
+        # new one would destroy BOTH if the process dies mid-save (the axon
+        # session can wedge — CLAUDE.md). os.replace of the tmp dir over
+        # the old path is atomic on one filesystem.
         path = self._path(tag)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        host_tree = jax.tree_util.tree_map(jax.device_get, state_tree)
+        self._ckpt.save(tmp, host_tree)
+        self._ckpt.wait_until_finished()
         if os.path.exists(path):
             shutil.rmtree(path)
-        host_tree = jax.tree_util.tree_map(jax.device_get, state_tree)
-        self._ckpt.save(path, host_tree)
-        self._ckpt.wait_until_finished()
+        os.replace(tmp, path)
         with open(self._meta_path(tag), "w") as f:
             json.dump(metadata or {}, f, indent=2, default=str)
         if tag.startswith("epoch_"):
@@ -56,9 +64,7 @@ class CheckpointManager:
         path = self._path(tag)
         if not os.path.exists(path):
             raise FileNotFoundError(path)
-        tree = self._ckpt.restore(
-            path, target if target is not None else None
-        )
+        tree = self._ckpt.restore(path, target)
         meta = {}
         if os.path.exists(self._meta_path(tag)):
             with open(self._meta_path(tag)) as f:

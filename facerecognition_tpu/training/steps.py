@@ -99,6 +99,10 @@ def make_arcface_train_step(
         )
         loss = softmax_cross_entropy(logits, labels, label_smoothing)
         if use_mixup:
+            # Reference-faithful caveat (train_arcface.py:96-111): the
+            # angular margin is applied at the PRIMARY labels' columns only,
+            # so the permuted-target CE term scores a margin-free logit —
+            # the standard torch-ArcFace+mixup composition, kept for parity.
             loss = lam * loss + (1.0 - lam) * softmax_cross_entropy(
                 logits, labels[perm], label_smoothing
             )

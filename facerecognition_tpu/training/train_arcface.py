@@ -121,7 +121,10 @@ def compute_verification_accuracy(
         idx = np.flatnonzero(labels == c)
         if len(idx) >= 2:
             by_class[int(c)] = idx
-    if not by_class:
+    if not by_class or len(np.unique(labels)) < 2:
+        # Need >=2 images of one identity for positives AND >=2 identities
+        # for negatives — degrade instead of crashing every epoch on a
+        # degenerate val split.
         return 0.0, 0.5
     classes = np.asarray(list(by_class))
     n_half = num_pairs // 2
@@ -235,7 +238,11 @@ class ArcFaceTrainer:
             len(self.train_index) // t["batch_size"], 1
         )
 
-    def _setup_optimizer(self):
+    def _build_tx(self):
+        """Optimizer chain for the CURRENT config (schedule horizons derive
+        from train.num_epochs — rebuild after changing it, e.g. on an
+        epoch-extending resume, or a cosine schedule decays to min_lr=0
+        and every extended epoch silently trains at LR 0)."""
         t = self.config["train"]
         spe = self._steps_per_epoch()
         schedule = build_schedule(
@@ -265,8 +272,22 @@ class ArcFaceTrainer:
         tx = optax.chain(*chain)
         ratio = self.config["model"]["freeze_ratio"]
         if ratio > 0:
+            # multi_transform with set_to_zero for the frozen subset:
+            # optax.masked would pass the RAW gradient through unchanged
+            # for unmasked params (params += grad — gradient ascent!).
             mask = freeze_mask(self.variables["params"], ratio)
-            tx = optax.chain(optax.masked(tx, mask))
+            labels = jax.tree_util.tree_map(
+                lambda trainable: "train" if trainable else "freeze", mask
+            )
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, labels
+            )
+        return tx
+
+    def _setup_optimizer(self):
+        t = self.config["train"]
+        spe = self._steps_per_epoch()
+        tx = self._build_tx()
         self.state = ArcFaceTrainState.create(
             apply_fn=self.model.apply,
             params=self.variables["params"],
@@ -422,9 +443,6 @@ class ArcFaceTrainer:
                 **train_metrics,
                 **val_metrics,
             }
-            self.history.append(record)
-            self._write_history()
-            self.metrics_logger.log(self.global_step, record, prefix="arcface/")
 
             name = t["early_stopping_metric"]
             if name == "ver_acc":
@@ -444,9 +462,14 @@ class ArcFaceTrainer:
                 self.best_metric = metric
                 self.save_checkpoint("best")
             if t["schedule"] == "plateau":
+                # Before the history write so lr_scale lands in THIS
+                # epoch's persisted record, not one epoch late.
                 record["lr_scale"] = self._apply_plateau_scale(
                     self.plateau.update(metric)
                 )
+            self.history.append(record)
+            self._write_history()
+            self.metrics_logger.log(self.global_step, record, prefix="arcface/")
             self.save_checkpoint("last")
             if ck["save_every_epochs"] and (
                 (self.epoch + 1) % ck["save_every_epochs"] == 0
@@ -549,10 +572,16 @@ class ArcFaceTrainer:
             self.early_stopping.load_state_dict(meta["early_stopping"])
         if meta.get("plateau"):
             self.plateau.load_state_dict(meta["plateau"])
+        old_epochs = self.config["train"]["num_epochs"]
         if extend_epochs:
             self.config["train"]["num_epochs"] = self.epoch + extend_epochs
         elif self.epoch >= self.config["train"]["num_epochs"]:
             self.config["train"]["num_epochs"] = self.epoch + 10  # auto-extend
+        if self.config["train"]["num_epochs"] != old_epochs:
+            # Schedule horizons are baked into tx — without a rebuild a
+            # decayed cosine would hold min_lr (0.0 by default) for every
+            # extended epoch. The restored opt_state structure is unchanged.
+            self.state = self.state.replace(tx=self._build_tx())
         return meta
 
 

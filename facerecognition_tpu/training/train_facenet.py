@@ -248,8 +248,17 @@ class FaceNetTrainer:
                     for i in chunk
                 ]
             ).astype(np.float32)
+            n = len(imgs)
+            if n < bs:
+                # Pad the ragged tail to the compiled batch shape — a raw
+                # remainder size would trigger a second multi-minute
+                # InceptionResnetV1 compile (batch-bucket discipline).
+                imgs = np.concatenate(
+                    [imgs, np.zeros((bs - n,) + imgs.shape[1:], np.float32)]
+                )
             x = (imgs / 255.0 - 0.5) / 0.5
-            embs.append(np.asarray(self._eval_step(self.state, jnp.asarray(x))))
+            out = np.asarray(self._eval_step(self.state, jnp.asarray(x)))
+            embs.append(out[:n])
         embeddings = np.concatenate(embs)
         labels = idx.labels
 

@@ -599,6 +599,54 @@ class TestPlateauWiring:
         assert "lr_scale" in hist[0]
 
 
+class TestFreezeSemantics:
+    def test_frozen_params_stay_fixed_after_step(self, image_tree, tmp_path):
+        """freeze_ratio>0 must leave frozen params bit-identical after a
+        train step — optax.masked would have passed RAW gradients through
+        (params += grad) for the frozen subset."""
+        from facerecognition_tpu.models.arcface import freeze_mask
+        from facerecognition_tpu.training.train_arcface import ArcFaceTrainer
+
+        tr = ArcFaceTrainer(
+            {
+                "data": {
+                    "data_dir": image_tree,
+                    "image_size": 56,
+                    "augmentation": "none",
+                    "min_images": 1,
+                },
+                "model": {"freeze_ratio": 0.5, "embedding_size": 32},
+                "train": {
+                    "num_epochs": 1,
+                    "batch_size": 4,
+                    "steps_per_epoch": 2,
+                    "num_devices": 1,
+                    "warmup_epochs": 0,
+                },
+                "eval": {"num_pairs": 20, "batch_size": 8},
+                "checkpoint": {"dir": str(tmp_path)},
+            }
+        )
+        mask = freeze_mask(tr.state.params, 0.5)
+        before = jax.tree_util.tree_map(np.asarray, tr.state.params)
+        tr.train_epoch()
+        after = jax.tree_util.tree_map(np.asarray, tr.state.params)
+        flat_mask = jax.tree_util.tree_leaves_with_path(mask)
+        frozen_checked = trained_changed = 0
+        for (path, trainable), b, a in zip(
+            flat_mask,
+            jax.tree_util.tree_leaves(before),
+            jax.tree_util.tree_leaves(after),
+        ):
+            if not trainable:
+                np.testing.assert_array_equal(b, a, err_msg=str(path))
+                frozen_checked += 1
+            elif not np.array_equal(b, a):
+                trained_changed += 1
+        assert frozen_checked > 0
+        assert trained_changed > 0  # the unfrozen subset actually trains
+
+
 @pytest.mark.slow
 class TestSynthIdTraining:
     def test_smoke_train_and_eval(self, tmp_path):
