@@ -394,12 +394,22 @@ padding:1em;overflow:auto}}
 <main><h1>{title}</h1>{body}</main></body></html>"""
 
 _HOME_FORM = """<form method=post enctype=multipart/form-data>
-<input type=file name=image accept=image/* required>
-<label>threshold <input name=threshold value=0.5 size=4></label>
+<input type=file name=image accept=image/* required id=imginput>
+<label>threshold <input name=threshold value=0.5 size=4 type=number
+ step=0.05 min=0 max=1></label>
 <label><input type=checkbox name=gradcam value=1> Grad-CAM</label>
 <button>Recognize</button></form>
+<img id=preview class=cam style="display:none">
+<script>
+document.getElementById('imginput').onchange = e => {
+  const f = e.target.files[0]; if (!f) return;
+  const p = document.getElementById('preview');
+  p.src = URL.createObjectURL(f); p.style.display = 'block';
+};
+</script>
 <p class=meta>Runs ArcFace, FaceNet, and LBPH side by side on one upload
-and (optionally) overlays each embedding model's class-activation map.</p>"""
+and (optionally) overlays each embedding model's class-activation map.
+Every detected face is drawn on the result image.</p>"""
 
 _BATCH_FORM = """<form method=post enctype=multipart/form-data>
 <input type=file name=images accept=image/* multiple required>
@@ -408,28 +418,70 @@ _BATCH_FORM = """<form method=post enctype=multipart/form-data>
 <p class=meta>All uploads go through ONE batched device pipeline
 (the reference loops images one by one).</p>"""
 
-_REALTIME_PAGE = """<img src="/video_feed" width=640>
-<pre id=r></pre><script>
-setInterval(async()=>{document.getElementById('r').textContent=
-JSON.stringify(await (await fetch('/realtime_result')).json(),null,1)},500);
-</script>
-<form method=post action=/set_realtime_model><select name=model>
-<option>arcface</option><option>facenet</option></select>
+_REALTIME_PAGE = """<div style="display:flex;gap:1.5em;flex-wrap:wrap">
+<img src="/video_feed" width=640 style="border-radius:8px">
+<div style="flex:1;min-width:220px">
+<div class=result><h3>Live result</h3>
+<span class=id id=rident>…</span>
+<span class=meta id=rconf></span>
+<table id=rfaces style="display:none">
+<tr><th>face</th><th>confidence</th></tr></table></div>
+<form method=post action=/set_realtime_model style="margin-bottom:.6em">
+<select name=model><option>arcface</option><option>facenet</option></select>
 <button>Set model</button></form>
-<form method=post action=/stop_camera><button>Stop camera</button></form>"""
+<form method=post action=/stop_camera><button>Stop camera</button></form>
+</div></div>
+<script>
+const esc = s => String(s).replace(/[&<>"]/g,
+  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c]));
+setInterval(async () => {
+  const r = await (await fetch('/realtime_result')).json();
+  document.getElementById('rident').textContent = r.identity ?? '…';
+  document.getElementById('rconf').textContent =
+    r.confidence ? ' ' + r.confidence.toFixed(3) : '';
+  const t = document.getElementById('rfaces');
+  const faces = r.faces || [];
+  t.style.display = faces.length > 1 ? 'table' : 'none';
+  t.innerHTML = '<tr><th>face</th><th>confidence</th></tr>' + faces.map(
+    f => `<tr><td>${esc(f.identity)}</td><td>${(+f.confidence).toFixed(3)}</td></tr>`
+  ).join('');
+}, 500);
+</script>"""
 
 _BUILDER_PAGE = """<form id=f><input name=dataset_dir placeholder="dataset dir" size=40>
 <select name=model_type><option>arcface</option><option>facenet</option>
 <option>lbph</option></select><button>Build</button></form>
-<pre id=status></pre><script>
-document.getElementById('f').onsubmit=async e=>{e.preventDefault();
-const fd=new FormData(e.target);
-const r=await fetch('/database-builder/build',{method:'POST',
-body:new URLSearchParams(fd)});const j=await r.json();
-const poll=setInterval(async()=>{const s=await (await
-fetch('/database-builder/status/'+j.job_id)).json();
-document.getElementById('status').textContent=JSON.stringify(s,null,1);
-if(s.status=='completed'||s.status=='failed')clearInterval(poll);},700);};
+<div class=result id=card style="display:none"><h3 id=jtitle></h3>
+<div style="background:#22262f;border-radius:6px;height:10px;margin:.5em 0">
+<div id=bar style="background:var(--accent);height:10px;border-radius:6px;width:0"></div></div>
+<div class=meta id=jmeta></div><div id=files></div>
+<pre id=logs style="max-height:14em"></pre></div>
+<script>
+const esc = s => String(s).replace(/[&<>"]/g,
+  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c]));
+document.getElementById('f').onsubmit = async e => {
+  e.preventDefault();
+  const fd = new FormData(e.target);
+  const r = await fetch('/database-builder/build',
+    {method: 'POST', body: new URLSearchParams(fd)});
+  const j = await r.json();
+  if (j.error) { alert(j.error); return; }
+  document.getElementById('card').style.display = 'block';
+  const poll = setInterval(async () => {
+    const s = await (await
+      fetch('/database-builder/status/' + j.job_id)).json();
+    document.getElementById('jtitle').textContent =
+      `${s.model_type} build — ${s.status}`;
+    document.getElementById('bar').style.width = (s.progress ?? 0) + '%';
+    document.getElementById('jmeta').textContent =
+      `${(s.elapsed_seconds ?? 0).toFixed(1)} s elapsed`;
+    document.getElementById('logs').textContent = (s.logs || []).join('\\n');
+    document.getElementById('files').innerHTML = (s.output_files || []).map(
+      p => `<a href="/database-builder/download/${esc(p)}" download>${esc(p)}</a>`
+    ).join(' · ');
+    if (s.status == 'completed' || s.status == 'failed') clearInterval(poll);
+  }, 700);
+};
 </script>"""
 
 
@@ -738,6 +790,13 @@ def create_app(
         if path.startswith("/database-builder/download/"):
             rel = path[len("/database-builder/download/") :]
             full = os.path.abspath(os.path.join(download_root, rel))
+            if not os.path.isfile(full):
+                # Jobs report output_files as root-relative/absolute paths
+                # (e.g. 'databases/arcface/face_db.npy') — resolve those
+                # too, still subject to the prefix guard below.
+                alt = os.path.abspath(rel)
+                if os.path.isfile(alt):
+                    full = alt
             # Path-prefix guard (reference web_app.py:1233).
             if not full.startswith(download_root + os.sep):
                 return respond_json(

@@ -325,6 +325,24 @@ class TestWebApp:
         status, _ = c.get_json("/database-builder/status/zzz")
         assert status.startswith("404")
 
+    def test_download_job_reported_path(self, app_and_registry, rng, tmp_path):
+        """Builder jobs report output_files as root-relative paths — the
+        download route must serve them verbatim (it previously re-joined
+        them onto the root and 404'd)."""
+        app, registry, engine, builder = app_and_registry
+        target = os.path.join(builder.output_root, "probe", "file.npy")
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        np.save(target, np.arange(3))
+        status, headers, data = Client(app).request(
+            "GET", "/database-builder/download/" + target
+        )
+        assert status == "200 OK" and len(data) > 0
+        # guard still rejects escapes expressed as raw paths
+        status, _, _ = Client(app).request(
+            "GET", "/database-builder/download//etc/passwd"
+        )
+        assert status.startswith(("403", "404"))
+
     def test_download_path_guard(self, app_and_registry):
         app, *_ = app_and_registry
         c = Client(app)
