@@ -7,7 +7,7 @@ gallery rows — timing BOTH the dense XLA path and the Pallas streaming
 kernel (`ops/pallas_topk.py`) and parity-checking them against each other.
 
 Measured (one v5e chip, N=1M, D=512, B=256, k=5): dense 18.1k q/s,
-pallas 11.9k q/s, top-1 agreement 1.0. Dense wins on speed until its
+pallas 12.3k q/s, top-1 agreement 1.0. Dense wins on speed until its
 (B, N) transient score matrix pressures HBM, so `auto_cosine_topk`
 switches to the streaming kernel on memory (DENSE_SCORES_MAX_BYTES),
 not on row count — the kernel is the capacity path.

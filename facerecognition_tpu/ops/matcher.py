@@ -71,7 +71,7 @@ def cosine_topk(
 # When the dense path's transient (B, N) score matrix would exceed this
 # many bytes in HBM, switch to the Pallas streaming kernel (scores never
 # leave VMEM). Measured on one v5e chip at N=1M, B=256 (bench_gallery.py):
-# dense 18.1k q/s vs pallas 11.9k q/s with exact top-1 agreement — dense
+# dense 18.1k q/s vs pallas 12.3k q/s with exact top-1 agreement — dense
 # WINS on speed until memory pressure, so the streaming kernel is the
 # capacity path (e.g. B=512 × N=4M → 8 GB scores would not fit next to a
 # multi-GB gallery), not the default.
