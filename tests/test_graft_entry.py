@@ -38,6 +38,88 @@ def test_entry_compiles():
     assert out.shape == (8, 512)
 
 
+def test_dryrun_noncpu_default_backend_routes_to_subprocess(monkeypatch):
+    """Round-2 failure mode: device listing works but the DEFAULT backend is
+    the real TPU (eager dispatch would hit the chip). The dryrun must not run
+    in-process; it must re-exec a cpu-pinned child that asserts its backend.
+    """
+    import __graft_entry__ as g
+
+    monkeypatch.setattr(g.jax, "default_backend", lambda: "tpu")
+    calls = {}
+
+    def fake_run(argv, env=None, cwd=None, **kw):
+        calls["argv"], calls["env"] = argv, env
+
+        class P:
+            returncode = 0
+
+        return P()
+
+    monkeypatch.setattr(g.subprocess, "run", fake_run)
+    g.dryrun_multichip(8)
+    code = calls["argv"][-1]
+    assert "jax.default_backend() == 'cpu'" in code
+    assert calls["env"][g._CHILD_ENV_VAR] == "1"
+    assert (
+        "--xla_force_host_platform_device_count=8" in calls["env"]["XLA_FLAGS"]
+    )
+    assert calls["env"]["JAX_PLATFORMS"] == "cpu"
+
+
+def test_dryrun_inprocess_exception_falls_back_to_subprocess(monkeypatch):
+    """ANY exception from the in-process attempt (e.g. a TPU-side condition
+    leaking into dispatch) must route to the subprocess, not propagate."""
+    import __graft_entry__ as g
+
+    def boom(devices, n):
+        raise RuntimeError("FAILED_PRECONDITION: libtpu version mismatch")
+
+    monkeypatch.setattr(g, "_dryrun_impl", boom)
+    ran = {}
+
+    def fake_run(argv, env=None, cwd=None, **kw):
+        ran["yes"] = True
+
+        class P:
+            returncode = 0
+
+        return P()
+
+    monkeypatch.setattr(g.subprocess, "run", fake_run)
+    g.dryrun_multichip(8)
+    assert ran.get("yes")
+
+
+def test_dryrun_child_never_recurses(monkeypatch):
+    """A child that still lacks a clean CPU backend raises; it never forks."""
+    import __graft_entry__ as g
+
+    monkeypatch.setenv(g._CHILD_ENV_VAR, "1")
+    monkeypatch.setattr(g.jax, "default_backend", lambda: "tpu")
+
+    def no_fork(*a, **kw):  # pragma: no cover - must not be reached
+        raise AssertionError("child must not re-exec")
+
+    monkeypatch.setattr(g.subprocess, "run", no_fork)
+    with pytest.raises(RuntimeError, match="clean 8-device CPU backend"):
+        g.dryrun_multichip(8)
+
+
+def test_dryrun_child_exception_propagates(monkeypatch):
+    """In the clean child, an impl failure must surface (not loop)."""
+    import __graft_entry__ as g
+
+    monkeypatch.setenv(g._CHILD_ENV_VAR, "1")
+
+    def boom(devices, n):
+        raise ValueError("impl bug")
+
+    monkeypatch.setattr(g, "_dryrun_impl", boom)
+    with pytest.raises(ValueError, match="impl bug"):
+        g.dryrun_multichip(8)
+
+
 @pytest.mark.slow
 def test_dryrun_from_tpu_like_process():
     """Simulate the driver: fresh process, 1-device default backend."""
