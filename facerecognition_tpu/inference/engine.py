@@ -9,6 +9,7 @@ the whole embed+match path is jitted with batch bucketing.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional, Sequence
 
@@ -70,7 +71,13 @@ class Gallery:
         grown[: len(self.names)] = self._matrix
         self._store = grown
 
+    def _materialize(self) -> None:
+        """Copy a read-only memory-mapped store into RAM before mutation."""
+        if isinstance(self._store, np.memmap):
+            self._store = np.array(self._store)
+
     def add(self, name: str, embedding: np.ndarray) -> None:
+        self._materialize()
         emb = np.asarray(embedding, np.float32).reshape(-1)
         emb = emb / (np.linalg.norm(emb) + 1e-12)
         idx = self._index.get(name)
@@ -92,6 +99,7 @@ class Gallery:
         """
         if len(names) == 0:
             return
+        self._materialize()
         embs = np.ascontiguousarray(embeddings, np.float32).reshape(
             len(names), -1
         )
@@ -117,6 +125,7 @@ class Gallery:
         idx = self._index.pop(name, None)
         if idx is None:
             return False
+        self._materialize()
         last = len(self.names) - 1
         if idx != last:  # swap-remove: O(1), order not part of the contract
             self._store[idx] = self._store[last]
@@ -140,13 +149,54 @@ class Gallery:
         return {n: self._store[i].copy() for i, n in enumerate(self.names)}
 
     def save(self, path: str) -> None:
-        d = os.path.dirname(path)
-        if d:
-            os.makedirs(d, exist_ok=True)
-        np.save(path, self.to_dict(), allow_pickle=True)
+        """Persist the gallery.
+
+        Two formats:
+
+        - **native** (default, scalable): ``path`` is a directory holding one
+          flat ``embeddings.npy`` float32 ``(N, dim)`` matrix (zero-copy
+          memory-mappable on load) plus ``names.json``. A 1M-identity gallery
+          saves/loads in seconds with no 1M-element python dict churn.
+        - **compat** (reference extract_embeddings.py:831 format): if ``path``
+          ends in ``.npy``, a pickled ``{name: (dim,) array}`` dict — the
+          import/export interchange format, not the native one.
+        """
+        if path.endswith(".npy"):
+            d = os.path.dirname(path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            np.save(path, self.to_dict(), allow_pickle=True)
+            return
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, f".tmp-{os.getpid()}")
+        np.save(tmp + ".npy", np.ascontiguousarray(self._matrix))
+        os.replace(tmp + ".npy", os.path.join(path, "embeddings.npy"))
+        with open(tmp + ".json", "w") as f:
+            json.dump(self.names, f)
+        os.replace(tmp + ".json", os.path.join(path, "names.json"))
 
     @classmethod
-    def load(cls, path: str) -> "Gallery":
+    def load(cls, path: str, mmap: bool = False) -> "Gallery":
+        """Load either format (auto-detected).
+
+        ``mmap=True`` (native format only) memory-maps the embedding matrix —
+        O(1) load for a multi-GB gallery; the store is copied into RAM
+        transparently on first mutation.
+        """
+        native = os.path.join(path, "embeddings.npy")
+        if os.path.isdir(path) and os.path.exists(native):
+            mat = np.load(native, mmap_mode="r" if mmap else None)
+            with open(os.path.join(path, "names.json")) as f:
+                names = json.load(f)
+            if len(names) != len(mat):
+                raise ValueError(
+                    f"gallery corrupt: {len(names)} names vs {len(mat)} rows"
+                )
+            g = cls(dim=mat.shape[1] if mat.ndim == 2 else 512)
+            g._store = mat if mmap else np.ascontiguousarray(mat, np.float32)
+            g.names = list(names)
+            g._index = {n: i for i, n in enumerate(names)}
+            return g
         if not os.path.exists(path) and os.path.exists(path + ".npy"):
             path = path + ".npy"
         db = np.load(path, allow_pickle=True).item()

@@ -78,15 +78,46 @@ def cosine_topk(
 DENSE_SCORES_MAX_BYTES = 2 << 30  # 2 GiB
 
 
+def _array_platform(x) -> str:
+    """Platform of the device ``x`` actually lives on.
+
+    The kernel choice must follow the array, not the process default
+    backend — a CPU-pinned process can still hold TPU-resident arrays (and
+    vice versa). numpy inputs fall back to the default backend they will be
+    transferred to.
+    """
+    devices = getattr(x, "devices", None)
+    if callable(devices):
+        try:
+            return next(iter(devices())).platform
+        except Exception:
+            pass
+    return jax.devices()[0].platform
+
+
 def auto_cosine_topk(
-    queries: jax.Array, gallery: jax.Array, k: int = 5
+    queries: jax.Array,
+    gallery: jax.Array,
+    k: int = 5,
+    kernel: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """cosine_topk that switches to the Pallas streaming kernel when the
-    dense score matrix would pressure HBM (see ops/pallas_topk.py)."""
-    n = gallery.shape[0]
-    scores_bytes = queries.shape[0] * n * 4
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    if on_tpu and scores_bytes > DENSE_SCORES_MAX_BYTES:
+    dense score matrix would pressure HBM (see ops/pallas_topk.py).
+
+    ``kernel``: ``'auto'`` (memory-based switch, TPU-resident arrays only),
+    ``'dense'``, or ``'pallas'`` to force a path explicitly.
+    """
+    if kernel not in ("auto", "dense", "pallas"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if kernel == "auto":
+        scores_bytes = queries.shape[0] * gallery.shape[0] * 4
+        on_tpu = _array_platform(gallery) not in ("cpu",)
+        kernel = (
+            "pallas"
+            if on_tpu and scores_bytes > DENSE_SCORES_MAX_BYTES
+            else "dense"
+        )
+    if kernel == "pallas":
         from facerecognition_tpu.ops.pallas_topk import pallas_cosine_topk
 
         return pallas_cosine_topk(queries, gallery, k)

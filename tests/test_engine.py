@@ -57,6 +57,79 @@ class TestGallery:
             np.asarray(g.matrix), np.asarray(g2.matrix), atol=1e-6
         )
 
+    def test_native_format_roundtrip(self, rng, tmp_path):
+        g = Gallery(dim=16)
+        g.add_many(
+            [f"id_{i}" for i in range(100)],
+            rng.normal(size=(100, 16)).astype(np.float32),
+        )
+        path = str(tmp_path / "gallery_native")
+        g.save(path)
+        import os
+
+        assert os.path.exists(path + "/embeddings.npy")
+        assert os.path.exists(path + "/names.json")
+        for mmap in (False, True):
+            g2 = Gallery.load(path, mmap=mmap)
+            assert g2.names == g.names
+            np.testing.assert_allclose(
+                np.asarray(g.matrix), np.asarray(g2.matrix), atol=1e-6
+            )
+
+    def test_mmap_gallery_materializes_on_mutation(self, rng, tmp_path):
+        g = Gallery(dim=8)
+        g.add_many(
+            [f"id_{i}" for i in range(10)],
+            rng.normal(size=(10, 8)).astype(np.float32),
+        )
+        path = str(tmp_path / "gal")
+        g.save(path)
+        g2 = Gallery.load(path, mmap=True)
+        assert isinstance(g2._store, np.memmap)
+        g2.add("id_3", np.ones(8))  # overwrite existing row via mutation
+        assert not isinstance(g2._store, np.memmap)
+        np.testing.assert_allclose(
+            np.asarray(g2.matrix)[3], np.ones(8) / np.sqrt(8), atol=1e-6
+        )
+        g3 = Gallery.load(path, mmap=True)
+        assert g3.remove("id_0")
+        assert len(g3) == 9
+
+    def test_corrupt_native_gallery_rejected(self, rng, tmp_path):
+        g = Gallery(dim=8)
+        g.add("a", rng.normal(size=8))
+        path = str(tmp_path / "gal")
+        g.save(path)
+        import json
+
+        with open(path + "/names.json", "w") as f:
+            json.dump(["a", "phantom"], f)
+        with pytest.raises(ValueError, match="corrupt"):
+            Gallery.load(path)
+
+    def test_million_identity_roundtrip_fast(self, rng, tmp_path):
+        """1M identities: flat-matrix format saves/loads in seconds (the
+        pickled-dict compat format would materialize 1M python arrays)."""
+        import time
+
+        n, dim = 1_000_000, 16
+        g = Gallery(dim=dim)
+        g.add_many(
+            np.char.add("id_", np.arange(n).astype(str)).tolist(),
+            rng.normal(size=(n, dim)).astype(np.float32),
+        )
+        path = str(tmp_path / "big")
+        t0 = time.perf_counter()
+        g.save(path)
+        g2 = Gallery.load(path, mmap=True)
+        elapsed = time.perf_counter() - t0
+        assert len(g2) == n
+        assert g2.names[-1] == f"id_{n - 1}"
+        np.testing.assert_allclose(
+            np.asarray(g2._store[123]), np.asarray(g._matrix[123]), atol=1e-6
+        )
+        assert elapsed < 30, f"1M save+load took {elapsed:.1f}s"
+
     def test_remove(self, rng):
         g = Gallery(dim=4)
         g.add("a", rng.normal(size=4))

@@ -1,6 +1,7 @@
 """Tests for the matmul+top_k gallery matcher."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from facerecognition_tpu.ops.matcher import (
@@ -56,3 +57,44 @@ def test_pairwise_sq_dists(rng):
     d = np.asarray(pairwise_sq_dists(jnp.asarray(a), jnp.asarray(b)))
     ref = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
     np.testing.assert_allclose(d, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_auto_cosine_topk_kernel_selection(rng, monkeypatch):
+    """Kernel choice follows the gallery array's platform, not the process
+    default backend, and can be forced explicitly."""
+    import jax.numpy as jnp
+
+    from facerecognition_tpu.ops import matcher
+
+    q = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+
+    # explicit dense always works
+    s, idx = matcher.auto_cosine_topk(q, g, 3, kernel="dense")
+    assert s.shape == (4, 3)
+
+    with pytest.raises(ValueError, match="unknown kernel"):
+        matcher.auto_cosine_topk(q, g, 3, kernel="fast")
+
+    # auto on cpu-resident arrays: never routes to pallas even when the
+    # score matrix is "huge" per the threshold
+    monkeypatch.setattr(matcher, "DENSE_SCORES_MAX_BYTES", 0)
+    called = {}
+
+    def fake_pallas(q, g, k):
+        called["pallas"] = True
+        return matcher.cosine_topk(q, g, k)
+
+    import facerecognition_tpu.ops.pallas_topk as pt
+
+    monkeypatch.setattr(pt, "pallas_cosine_topk", fake_pallas)
+    matcher.auto_cosine_topk(q, g, 3)
+    assert "pallas" not in called  # cpu arrays -> dense
+
+    # tpu-resident arrays above the threshold -> pallas
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(matcher, "_array_platform", lambda x: "tpu")
+    matcher.auto_cosine_topk(q, g, 3)
+    assert called.get("pallas")
