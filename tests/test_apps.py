@@ -411,3 +411,81 @@ class TestEngineRegistryDegradation:
                 assert reg.get(model) is None
         reg2 = EngineRegistry(arcface_ckpt="/nonexistent/path.msgpack")
         assert reg2.get("arcface") is None
+
+
+class TestStreamlitApp:
+    """Drive the streamlit demo's engine path end-to-end (reference
+    app/app.py:100-131) with a recording fake streamlit module — the real
+    streamlit package is not in this image, so the fake executes run()'s
+    actual control flow: engine construction, FACE_DB gallery load,
+    threshold slider, upload decode, recognize(), result rendering."""
+
+    @staticmethod
+    def _fake_streamlit(upload_bytes, record):
+        import types
+
+        st = types.ModuleType("streamlit")
+        st.title = lambda *a, **k: record.setdefault("title", a)
+        st.cache_resource = lambda fn: fn
+        sidebar = types.SimpleNamespace(
+            write=lambda *a, **k: None,
+            slider=lambda label, lo, hi, value, step: value,
+        )
+        st.sidebar = sidebar
+        st.file_uploader = lambda *a, **k: upload_bytes
+        st.image = lambda *a, **k: None
+        st.error = lambda msg: record.setdefault("error", msg)
+        st.subheader = lambda s: record.setdefault("identity", s)
+        st.write = lambda *a, **k: None
+        st.table = lambda rows: record.setdefault("table", rows)
+        return st
+
+    def test_recognize_path(self, tmp_path, monkeypatch, rng):
+        import io
+        import sys
+
+        from PIL import Image
+
+        from facerecognition_tpu.apps import streamlit_app
+        from facerecognition_tpu.inference.engine import RecognitionEngine
+
+        img = rng.integers(0, 256, (160, 160, 3)).astype("uint8")
+        # Enroll through the real engine, persist the DB the app will load.
+        setup = RecognitionEngine(model_type="arcface")
+        assert setup.add_to_db("alice", [img])
+        db_path = str(tmp_path / "face_db.npy")
+        setup.gallery.save(db_path)
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        buf.seek(0)
+        record = {}
+        monkeypatch.setitem(
+            sys.modules, "streamlit", self._fake_streamlit(buf, record)
+        )
+        monkeypatch.setenv("FACE_DB", db_path)
+        streamlit_app.run()
+        assert "error" not in record, record
+        assert record["identity"] == "alice"
+        assert record["table"][0]["identity"] == "alice"
+
+    def test_empty_gallery_surfaces_error(self, tmp_path, monkeypatch, rng):
+        import io
+        import sys
+
+        from PIL import Image
+
+        from facerecognition_tpu.apps import streamlit_app
+
+        img = rng.integers(0, 256, (160, 160, 3)).astype("uint8")
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        buf.seek(0)
+        record = {}
+        monkeypatch.setitem(
+            sys.modules, "streamlit", self._fake_streamlit(buf, record)
+        )
+        monkeypatch.setenv("FACE_DB", str(tmp_path / "missing.npy"))
+        streamlit_app.run()
+        assert "identity" not in record
+        assert "error" in record
