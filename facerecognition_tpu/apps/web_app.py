@@ -29,6 +29,7 @@ import io
 import json
 import mimetypes
 import os
+import re
 import threading
 import time
 from email.parser import BytesParser
@@ -355,134 +356,47 @@ def gradcam_overlays(registry: EngineRegistry, image: np.ndarray) -> dict[str, s
 
 
 # ---------------------------------------------------------------------------
-# HTML (minimal functional pages)
+# Templates + static assets (reference templates/ + static/, 4,670 LoC UI)
 # ---------------------------------------------------------------------------
 
-_PAGE = """<!doctype html><html><head><title>FaceRecognition TPU</title>
-<meta name=viewport content="width=device-width,initial-scale=1">
-<style>
-:root{{--bg:#0f1115;--card:#1a1d24;--line:#2a2f3a;--fg:#e8eaf0;--dim:#9aa3b2;
---accent:#4f8ef7;--ok:#3fb56f;--warn:#e0a43b}}
-*{{box-sizing:border-box}}
-body{{font-family:system-ui,sans-serif;margin:0;background:var(--bg);color:var(--fg)}}
-nav{{display:flex;gap:1.5em;padding:1em 2em;background:var(--card);
-border-bottom:1px solid var(--line)}}
-nav a{{color:var(--dim);text-decoration:none;font-weight:600}}
-nav a:hover{{color:var(--accent)}}
-main{{max-width:960px;margin:0 auto;padding:2em}}
-h1{{font-size:1.4em}}
-form{{background:var(--card);border:1px solid var(--line);border-radius:10px;
-padding:1.2em;display:flex;gap:1em;align-items:center;flex-wrap:wrap}}
-input,select,button{{background:#22262f;color:var(--fg);
-border:1px solid var(--line);border-radius:6px;padding:.5em .8em}}
-button{{background:var(--accent);border:none;cursor:pointer;font-weight:700}}
-.result{{background:var(--card);border:1px solid var(--line);
-border-radius:10px;padding:1em 1.2em;margin:1em 0}}
-.result h3{{margin:.1em 0 .4em;font-size:1.05em}}
-.result .id{{font-size:1.2em;font-weight:700;color:var(--ok)}}
-.result .unknown{{color:var(--warn)}}
-.meta{{color:var(--dim);font-size:.85em}}
-table{{border-collapse:collapse;margin:.6em 0;width:100%}}
-td,th{{border-bottom:1px solid var(--line);padding:.35em .6em;
-text-align:left;font-size:.9em}}
-img.cam{{border-radius:8px;margin:.4em .6em .4em 0;max-width:220px}}
-pre{{background:var(--card);border:1px solid var(--line);border-radius:8px;
-padding:1em;overflow:auto}}
-</style></head>
-<body><nav><a href="/">Single image</a><a href="/batch">Batch</a>
-<a href="/realtime">Realtime</a><a href="/database-builder">Database builder</a></nav>
-<main><h1>{title}</h1>{body}</main></body></html>"""
+_APP_DIR = os.path.dirname(os.path.abspath(__file__))
+TEMPLATES_DIR = os.path.join(_APP_DIR, "templates")
+STATIC_DIR = os.path.join(_APP_DIR, "static")
 
-_HOME_FORM = """<form method=post enctype=multipart/form-data>
-<input type=file name=image accept=image/* required id=imginput>
-<label>threshold <input name=threshold value=0.5 size=4 type=number
- step=0.05 min=0 max=1></label>
-<label><input type=checkbox name=gradcam value=1> Grad-CAM</label>
-<button>Recognize</button></form>
-<img id=preview class=cam style="display:none">
-<script>
-document.getElementById('imginput').onchange = e => {
-  const f = e.target.files[0]; if (!f) return;
-  const p = document.getElementById('preview');
-  p.src = URL.createObjectURL(f); p.style.display = 'block';
-};
-</script>
-<p class=meta>Runs ArcFace, FaceNet, and LBPH side by side on one upload
-and (optionally) overlays each embedding model's class-activation map.
-Every detected face is drawn on the result image.</p>"""
+_TOKEN_RE = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+_template_cache: dict[str, tuple[int, str]] = {}
 
-_BATCH_FORM = """<form method=post enctype=multipart/form-data>
-<input type=file name=images accept=image/* multiple required>
-<select name=model><option>arcface</option><option>facenet</option>
-<option>lbph</option></select><button>Recognize batch</button></form>
-<p class=meta>All uploads go through ONE batched device pipeline
-(the reference loops images one by one).</p>"""
 
-_REALTIME_PAGE = """<div style="display:flex;gap:1.5em;flex-wrap:wrap">
-<img src="/video_feed" width=640 style="border-radius:8px">
-<div style="flex:1;min-width:220px">
-<div class=result><h3>Live result</h3>
-<span class=id id=rident>…</span>
-<span class=meta id=rconf></span>
-<table id=rfaces style="display:none">
-<tr><th>face</th><th>confidence</th></tr></table></div>
-<form method=post action=/set_realtime_model style="margin-bottom:.6em">
-<select name=model><option>arcface</option><option>facenet</option></select>
-<button>Set model</button></form>
-<form method=post action=/stop_camera><button>Stop camera</button></form>
-</div></div>
-<script>
-const esc = s => String(s).replace(/[&<>"]/g,
-  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c]));
-setInterval(async () => {
-  const r = await (await fetch('/realtime_result')).json();
-  document.getElementById('rident').textContent = r.identity ?? '…';
-  document.getElementById('rconf').textContent =
-    r.confidence ? ' ' + r.confidence.toFixed(3) : '';
-  const t = document.getElementById('rfaces');
-  const faces = r.faces || [];
-  t.style.display = faces.length > 1 ? 'table' : 'none';
-  t.innerHTML = '<tr><th>face</th><th>confidence</th></tr>' + faces.map(
-    f => `<tr><td>${esc(f.identity)}</td><td>${(+f.confidence).toFixed(3)}</td></tr>`
-  ).join('');
-}, 500);
-</script>"""
+def _load_template(name: str) -> str:
+    """Read a template from disk, cached by mtime (live-editable)."""
+    path = os.path.join(TEMPLATES_DIR, name)
+    mtime = os.stat(path).st_mtime_ns
+    cached = _template_cache.get(name)
+    if cached is not None and cached[0] == mtime:
+        return cached[1]
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    _template_cache[name] = (mtime, text)
+    return text
 
-_BUILDER_PAGE = """<form id=f><input name=dataset_dir placeholder="dataset dir" size=40>
-<select name=model_type><option>arcface</option><option>facenet</option>
-<option>lbph</option></select><button>Build</button></form>
-<div class=result id=card style="display:none"><h3 id=jtitle></h3>
-<div style="background:#22262f;border-radius:6px;height:10px;margin:.5em 0">
-<div id=bar style="background:var(--accent);height:10px;border-radius:6px;width:0"></div></div>
-<div class=meta id=jmeta></div><div id=files></div>
-<pre id=logs style="max-height:14em"></pre></div>
-<script>
-const esc = s => String(s).replace(/[&<>"]/g,
-  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c]));
-document.getElementById('f').onsubmit = async e => {
-  e.preventDefault();
-  const fd = new FormData(e.target);
-  const r = await fetch('/database-builder/build',
-    {method: 'POST', body: new URLSearchParams(fd)});
-  const j = await r.json();
-  if (j.error) { alert(j.error); return; }
-  document.getElementById('card').style.display = 'block';
-  const poll = setInterval(async () => {
-    const s = await (await
-      fetch('/database-builder/status/' + j.job_id)).json();
-    document.getElementById('jtitle').textContent =
-      `${s.model_type} build — ${s.status}`;
-    document.getElementById('bar').style.width = (s.progress ?? 0) + '%';
-    document.getElementById('jmeta').textContent =
-      `${(s.elapsed_seconds ?? 0).toFixed(1)} s elapsed`;
-    document.getElementById('logs').textContent = (s.logs || []).join('\\n');
-    document.getElementById('files').innerHTML = (s.output_files || []).map(
-      p => `<a href="/database-builder/download/${esc(p)}" download>${esc(p)}</a>`
-    ).join(' · ');
-    if (s.status == 'completed' || s.status == 'failed') clearInterval(poll);
-  }, 700);
-};
-</script>"""
+
+def render_template(name: str, **ctx) -> str:
+    """``{{ token }}`` substitution — no logic in templates; result
+    fragments are rendered in Python with esc() applied to user strings.
+    Unknown tokens render empty (nav_* active markers use this)."""
+    return _TOKEN_RE.sub(
+        lambda m: str(ctx.get(m.group(1), "")), _load_template(name)
+    )
+
+
+def render_page(template: str, title: str, nav: str, **ctx) -> str:
+    body = render_template(template, **ctx)
+    return render_template(
+        "base.html",
+        title=title,
+        body=body,
+        **{f"nav_{nav}": 'class="active"'},
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -523,8 +437,8 @@ def create_app(
                        ("Content-Length", str(len(body)))])
         return [body]
 
-    def respond_html(start, title, body, status="200 OK"):
-        page = _PAGE.format(title=title, body=body).encode()
+    def respond_page(start, template, title, nav, status="200 OK", **ctx):
+        page = render_page(template, title, nav, **ctx).encode()
         start(status, [("Content-Type", "text/html; charset=utf-8"),
                        ("Content-Length", str(len(page)))])
         return [page]
@@ -533,10 +447,40 @@ def create_app(
         path = environ.get("PATH_INFO", "/")
         method = environ.get("REQUEST_METHOD", "GET")
 
+        # -- static assets (css/js) ---------------------------------------
+        if path.startswith("/static/"):
+            rel = path[len("/static/") :]
+            full = os.path.abspath(os.path.join(STATIC_DIR, rel))
+            # Path-prefix guard — same policy as the download route.
+            if not full.startswith(STATIC_DIR + os.sep) or not os.path.isfile(
+                full
+            ):
+                return respond_json(
+                    start_response, {"error": "not found"}, "404 Not Found"
+                )
+            ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+            with open(full, "rb") as f:
+                data = f.read()
+            start_response(
+                "200 OK",
+                [
+                    ("Content-Type", ctype),
+                    ("Content-Length", str(len(data))),
+                    ("Cache-Control", "no-cache"),
+                ],
+            )
+            return [data]
+
         # -- home: single image, 3-model compare --------------------------
         if path == "/":
             if method == "GET":
-                return respond_html(start_response, "Single image", _HOME_FORM)
+                return respond_page(
+                    start_response,
+                    "index.html",
+                    "Single image",
+                    "home",
+                    threshold="0.5",
+                )
             fields = _parse_multipart(environ)
             files = fields.get("image", [])
             if not files or not isinstance(files[0], dict):
@@ -618,17 +562,22 @@ def create_app(
                     f'<img class=cam src="data:image/png;base64,{b64}"></div>'
                     for m, b64 in payload.get("gradcam", {}).items()
                 )
-                return respond_html(
+                return respond_page(
                     start_response,
+                    "index.html",
                     "Results",
-                    _HOME_FORM + "".join(cards) + cams,
+                    "home",
+                    threshold=esc(threshold),
+                    results="".join(cards) + cams,
                 )
             return respond_json(start_response, payload)
 
         # -- batch --------------------------------------------------------
         if path == "/batch":
             if method == "GET":
-                return respond_html(start_response, "Batch", _BATCH_FORM)
+                return respond_page(
+                    start_response, "batch.html", "Batch", "batch"
+                )
             fields = _parse_multipart(environ)
             model = (fields.get("model") or ["arcface"])[0]
             files = [
@@ -689,14 +638,20 @@ def create_app(
                     f"<th>confidence</th><th>ms/img</th></tr>{rows}</table>"
                     "</div>"
                 )
-                return respond_html(
-                    start_response, "Batch results", _BATCH_FORM + table
+                return respond_page(
+                    start_response,
+                    "batch.html",
+                    "Batch results",
+                    "batch",
+                    results=table,
                 )
             return respond_json(start_response, payload)
 
         # -- realtime -----------------------------------------------------
         if path == "/realtime":
-            return respond_html(start_response, "Realtime", _REALTIME_PAGE)
+            return respond_page(
+                start_response, "realtime.html", "Realtime", "realtime"
+            )
 
         if path == "/video_feed":
             rt = get_realtime()
@@ -757,7 +712,12 @@ def create_app(
 
         # -- database builder --------------------------------------------
         if path == "/database-builder":
-            return respond_html(start_response, "Database builder", _BUILDER_PAGE)
+            return respond_page(
+                start_response,
+                "database_builder.html",
+                "Database builder",
+                "builder",
+            )
 
         if path == "/database-builder/build" and method == "POST":
             fields = _parse_multipart(environ)

@@ -489,3 +489,99 @@ class TestStreamlitApp:
         streamlit_app.run()
         assert "identity" not in record
         assert "error" in record
+
+
+class TestWebUI:
+    """The dedicated UI: on-disk templates + served static assets with the
+    reference's interaction set (realtime polling, builder progress,
+    templates/realtime.html:584-712, database_builder.html:844-882)."""
+
+    def _get(self, app, path, accept="text/html"):
+        import io as _io
+
+        captured = {}
+
+        def start(status, headers):
+            captured["status"] = status
+            captured["headers"] = dict(headers)
+
+        environ = {
+            "PATH_INFO": path,
+            "REQUEST_METHOD": "GET",
+            "HTTP_ACCEPT": accept,
+            "wsgi.input": _io.BytesIO(b""),
+        }
+        body = b"".join(app(environ, start))
+        return captured["status"], captured["headers"], body
+
+    def test_templates_live_on_disk(self):
+        from facerecognition_tpu.apps.web_app import TEMPLATES_DIR, STATIC_DIR
+
+        for t in (
+            "base.html",
+            "index.html",
+            "batch.html",
+            "realtime.html",
+            "database_builder.html",
+        ):
+            assert os.path.exists(os.path.join(TEMPLATES_DIR, t)), t
+        for s in (
+            "css/style.css",
+            "js/index.js",
+            "js/batch.js",
+            "js/realtime.js",
+            "js/builder.js",
+        ):
+            assert os.path.exists(os.path.join(STATIC_DIR, s)), s
+
+    def test_pages_reference_static_assets(self, app_and_registry):
+        app = app_and_registry[0]
+        for path, js in (
+            ("/", b"/static/js/index.js"),
+            ("/batch", b"/static/js/batch.js"),
+            ("/realtime", b"/static/js/realtime.js"),
+            ("/database-builder", b"/static/js/builder.js"),
+        ):
+            status, _, body = self._get(app, path)
+            assert status == "200 OK"
+            assert b"/static/css/style.css" in body
+            assert js in body, (path, js)
+            assert b'class="active"' in body  # nav highlights current page
+
+    def test_static_served_with_content_type(self, app_and_registry):
+        app = app_and_registry[0]
+        status, headers, body = self._get(app, "/static/css/style.css")
+        assert status == "200 OK"
+        assert headers["Content-Type"].startswith("text/css")
+        assert b"--accent" in body
+        status, headers, body = self._get(app, "/static/js/realtime.js")
+        assert status == "200 OK"
+        assert b"javascript" in headers["Content-Type"].encode()
+
+    def test_js_drives_the_live_endpoints(self, app_and_registry):
+        """The polling contract: realtime JS hits /realtime_result and
+        /set_realtime_model; builder JS hits /database-builder/build and
+        /database-builder/status/<id>."""
+        app = app_and_registry[0]
+        _, _, rt = self._get(app, "/static/js/realtime.js")
+        assert b"/realtime_result" in rt
+        assert b"/set_realtime_model" in rt
+        assert b"/stop_camera" in rt
+        _, _, bd = self._get(app, "/static/js/builder.js")
+        assert b"/database-builder/build" in bd
+        assert b"/database-builder/status/" in bd
+        assert b"/database-builder/download/" in bd
+
+    def test_static_path_traversal_guarded(self, app_and_registry):
+        app = app_and_registry[0]
+        status, _, _ = self._get(app, "/static/../web_app.py")
+        assert status.startswith("404")
+        status, _, _ = self._get(app, "/static/../../inference/engine.py")
+        assert status.startswith("404")
+
+    def test_unknown_template_token_renders_empty(self):
+        from facerecognition_tpu.apps.web_app import render_template
+
+        html = render_template("index.html", threshold="0.7")
+        assert "{{" not in html
+        assert 'value="0.7"' in html
