@@ -23,7 +23,7 @@ from facerecognition_tpu.inference.extract_embeddings import (
     load_facenet_model,
 )
 from facerecognition_tpu.ops.image import align_crop, crop_with_margin
-from facerecognition_tpu.ops.matcher import auto_cosine_topk
+from facerecognition_tpu.ops.matcher import auto_cosine_topk, l2_normalize
 from facerecognition_tpu.utils.imageio import load_image
 
 
@@ -308,8 +308,13 @@ class RecognitionEngine:
         if len(self.gallery) == 0:
             return [("No database", 0.0, [])] * len(embeddings)
         k_eff = min(k, len(self.gallery))
+        # Gallery rows are unit-norm by construction (add/add_many);
+        # normalize only the (small) query block and skip the (N, D) pass.
         scores, idx = auto_cosine_topk(
-            jnp.asarray(embeddings), self.gallery.matrix, k_eff
+            l2_normalize(jnp.asarray(embeddings, jnp.float32)),
+            self.gallery.matrix,
+            k_eff,
+            normalized=True,
         )
         scores = np.asarray(scores)
         idx = np.asarray(idx)
@@ -376,7 +381,7 @@ class RecognitionEngine:
                 jnp.linalg.norm(emb.astype(jnp.float32), axis=1, keepdims=True),
                 1e-12,
             )
-            scores, idx = auto_cosine_topk(emb, gallery, k)
+            scores, idx = auto_cosine_topk(emb, gallery, k, normalized=True)
             return (
                 scores.reshape(bsz, max_faces, -1),
                 idx.reshape(bsz, max_faces, -1),

@@ -95,6 +95,66 @@ class BlazeFaceNet(nn.Module):
         return jnp.concatenate([out1, out2], axis=1).astype(jnp.float32)
 
 
+class DenseDetNet(nn.Module):
+    """MXU-dense detector backbone (v3): plain 3x3/5x5 convolutions.
+
+    BlazeFaceNet's depthwise 5x5 blocks run on the VPU (no MXU use) —
+    measured 3.2 ms/256@128² vs 2.4 ms for this dense stack, despite ~4x
+    the FLOPs (scripts/profile_pipeline.py; same finding as MobileFaceNet
+    vs ResNet50 in CLAUDE.md). Same input/output contract as BlazeFaceNet:
+    (B, S, S, 3) normalized → (B, A, 15), A = (S/8)²·2 + (S/16)²·6, so
+    anchors/decode/NMS and the training loss are shared.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        relu = nn.relu
+        x = relu(
+            nn.Conv(
+                32, (5, 5), strides=(2, 2), padding=((2, 2), (2, 2)),
+                dtype=self.dtype, name="stem",
+            )(x)
+        )  # S/2
+        x = relu(nn.Conv(48, (3, 3), dtype=self.dtype, name="c1")(x))
+        x = relu(
+            nn.Conv(64, (3, 3), strides=(2, 2), dtype=self.dtype, name="d1")(x)
+        )  # S/4
+        x = relu(nn.Conv(64, (3, 3), dtype=self.dtype, name="c2")(x))
+        x = relu(
+            nn.Conv(96, (3, 3), strides=(2, 2), dtype=self.dtype, name="d2")(x)
+        )  # S/8
+        x = relu(nn.Conv(96, (3, 3), dtype=self.dtype, name="c3")(x))
+        f1 = relu(nn.Conv(96, (3, 3), dtype=self.dtype, name="c4")(x))
+        x = relu(
+            nn.Conv(128, (3, 3), strides=(2, 2), dtype=self.dtype, name="d3")(
+                f1
+            )
+        )  # S/16
+        f2 = relu(nn.Conv(128, (3, 3), dtype=self.dtype, name="c5")(x))
+        h1 = nn.Conv(2 * 15, (1, 1), dtype=self.dtype, name="head1")(f1)
+        h2 = nn.Conv(6 * 15, (1, 1), dtype=self.dtype, name="head2")(f2)
+        b = x.shape[0]
+        out1 = h1.reshape(b, -1, 15)
+        out2 = h2.reshape(b, -1, 15)
+        return jnp.concatenate([out1, out2], axis=1).astype(jnp.float32)
+
+
+DETECTOR_ARCHS = {"blaze": BlazeFaceNet, "dense": DenseDetNet}
+
+
+def build_detector_net(arch: str = "blaze", dtype: Dtype = jnp.float32):
+    """Detector backbone by arch name (checkpoints carry an 'arch' key)."""
+    try:
+        return DETECTOR_ARCHS[arch](dtype=dtype)
+    except KeyError:
+        raise ValueError(
+            f"unknown detector arch {arch!r}; have {sorted(DETECTOR_ARCHS)}"
+        ) from None
+
+
 def anchor_centers(input_size: int) -> np.ndarray:
     """(A, 2) anchor centers in pixels + (A,) anchor scale (base size)."""
     out = []
@@ -149,7 +209,12 @@ def detect_faces(
     scores (max_faces,), valid (max_faces,)) — fixed shapes.
     """
     scores, boxes, landmarks = decode_predictions(raw, anchors)
-    k = min(256, scores.shape[0])
+    # Prefilter size scales with the requested face count: top_k over all
+    # anchors is the stage's dominant cost (vmapped over the batch), and
+    # 8 candidates per output slot is ample headroom for greedy NMS at
+    # IoU>=0.3 (k=64 measures ~20% faster than the old fixed k=256 at
+    # max_faces=4, scripts/profile_pipeline.py).
+    k = min(scores.shape[0], max(64, 8 * max_faces))
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = boxes[top_idx]
     top_lm = landmarks[top_idx]

@@ -43,23 +43,36 @@ def cosine_similarity(a, b) -> float:
     return float(np.dot(a, b) / (na * nb))
 
 
-@partial(jax.jit, static_argnums=(2,))
+@partial(jax.jit, static_argnums=(2, 3))
 def cosine_topk(
-    queries: jax.Array, gallery: jax.Array, k: int = 5
+    queries: jax.Array,
+    gallery: jax.Array,
+    k: int = 5,
+    normalized: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k cosine matches of each query against the gallery.
 
     Args:
-      queries: (B, D) embeddings — normalized internally.
-      gallery: (N, D) embeddings — normalized internally.
+      queries: (B, D) embeddings — normalized internally unless
+        ``normalized``.
+      gallery: (N, D) embeddings — normalized internally unless
+        ``normalized``.
       k: number of neighbours (clipped to N by the caller).
+      normalized: both inputs are already unit-norm (the Gallery stores
+        normalized rows; embedders emit normalized queries). Skips two
+        normalization passes — at 10k ids the per-call gallery normalize is
+        ~0.9 ms/batch, half the match stage (scripts/profile_pipeline.py),
+        because XLA does not hoist it out of serving scan loops.
 
     Returns:
       (scores, indices): both (B, k); scores are cosine similarities sorted
       descending. One matmul on the MXU + ``lax.top_k``.
     """
-    q = l2_normalize(queries.astype(jnp.float32))
-    g = l2_normalize(gallery.astype(jnp.float32))
+    q = queries.astype(jnp.float32)
+    g = gallery.astype(jnp.float32)
+    if not normalized:
+        q = l2_normalize(q)
+        g = l2_normalize(g)
     scores = jnp.dot(
         q, g.T, preferred_element_type=jnp.float32
     )  # (B, N) — MXU
@@ -100,6 +113,7 @@ def auto_cosine_topk(
     gallery: jax.Array,
     k: int = 5,
     kernel: str = "auto",
+    normalized: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """cosine_topk that switches to the Pallas streaming kernel when the
     dense score matrix would pressure HBM (see ops/pallas_topk.py).
@@ -121,7 +135,7 @@ def auto_cosine_topk(
         from facerecognition_tpu.ops.pallas_topk import pallas_cosine_topk
 
         return pallas_cosine_topk(queries, gallery, k)
-    return cosine_topk(queries, gallery, k)
+    return cosine_topk(queries, gallery, k, normalized)
 
 
 @partial(jax.jit, static_argnums=(2,))

@@ -206,4 +206,6 @@ def align_crop_mxu_batch(
     """Batched 5-point alignment on the MXU path (landmarks (B, 5, 2))."""
     template = jnp.asarray(ARCFACE_TEMPLATE) * (out_size / 112.0)
     ms = umeyama_batch(landmarks.astype(jnp.float32), template)
-    return affine_warp_mxu_batch(images, ms, out_size, out_size, 16, fast)
+    # chunk=32: ~2% faster than 16 at B=256/160² (fewer lax.map steps) with
+    # a ~367 MB f32 per-pass weight working set — still far from HBM limits.
+    return affine_warp_mxu_batch(images, ms, out_size, out_size, 32, fast)

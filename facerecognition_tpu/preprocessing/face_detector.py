@@ -31,6 +31,7 @@ import numpy as np
 
 from facerecognition_tpu.models.detector_net import (
     BlazeFaceNet,
+    build_detector_net,
     anchor_centers,
     detect_faces,
 )
@@ -68,12 +69,10 @@ class FaceDetector:
         self.iou_threshold = iou_threshold
         self.max_faces = max_faces
 
-        self.net = BlazeFaceNet(dtype=dtype)
         if weights is None and input_size == 128:
             # Ship-with-repo checkpoints so detect() works out of the box.
-            # Prefer the trained+calibrated curriculum detector (v2 —
-            # docs/DETECTOR.md quality numbers apply to THIS one); fall
-            # back to the round-1 synthetic-blob checkpoint.
+            # Prefer the MXU-dense robustness-trained v3, then the v2
+            # curriculum detector, then the round-1 synthetic-blob one.
             assets = os.path.join(
                 os.path.dirname(
                     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -81,6 +80,7 @@ class FaceDetector:
                 "assets",
             )
             for name in (
+                "detector_v3_128.msgpack",
                 "detector_v2_128.msgpack",
                 "detector_synthetic_128.msgpack",
             ):
@@ -89,15 +89,29 @@ class FaceDetector:
                     weights = default
                     break
         self._calibration: Optional[tuple[float, float]] = None
+        arch = "blaze"
         if weights is None:
+            self.net = build_detector_net(arch, dtype)
             self.variables = self.net.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, input_size, input_size, 3)),
             )
-        elif isinstance(weights, (str, os.PathLike)):
-            self.variables = load_variables(os.fspath(weights))
         else:
-            self.variables = dict(weights)
+            if isinstance(weights, (str, os.PathLike)):
+                self.variables = load_variables(os.fspath(weights))
+            else:
+                self.variables = dict(weights)
+            # Architecture marker rides in the checkpoint (v3+ dense nets);
+            # absent → the original BlazeFaceNet.
+            raw_arch = self.variables.pop("arch", None)
+            if raw_arch is not None:
+                arch = (
+                    raw_arch.decode()
+                    if isinstance(raw_arch, bytes)
+                    else str(raw_arch)
+                )
+            self.net = build_detector_net(arch, dtype)
+        self.arch = arch
         # Platt score calibration (training.train_detector.fit_score_
         # calibration) rides in the checkpoint next to the params.
         cal = (

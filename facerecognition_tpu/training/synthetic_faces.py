@@ -504,7 +504,9 @@ def render_scene(
             frac_hi = 0.62 if n == 1 else 0.34
             frac = rng.uniform(0.16, frac_hi)
             scale = frac * size / (2 * patch * 0.27)
-            rot = rng.uniform(-22, 22)
+            # ±30°: covers the real-photo robustness matrix's rotation sweep
+            # (docs/DETECTOR.md) — the v2 curriculum stopped at ±22°.
+            rot = rng.uniform(-30, 30)
             # Pick the face-center target in frame coords; the patch center
             # stays fixed under cv2.getRotationMatrix2D, so translate by
             # (target - patch_center).
@@ -534,6 +536,24 @@ def render_scene(
             valid[slot] = True
             slot += 1
 
+    # partial occlusion: an opaque bar/rectangle clipping a face region
+    # (sunglasses / hand / foreground object — real-photo failure mode the
+    # v2 curriculum never showed the detector)
+    if valid.any() and rng.random() < 0.25:
+        fb = boxes[int(rng.integers(0, int(valid.sum())))]
+        bw, bh = fb[2] - fb[0], fb[3] - fb[1]
+        if bw > 4 and bh > 4:
+            ow = rng.uniform(0.25, 0.6) * bw
+            oh = rng.uniform(0.12, 0.35) * bh
+            ox = rng.uniform(fb[0] - 0.1 * bw, fb[2] - 0.4 * ow)
+            oy = rng.uniform(fb[1], fb[3] - oh)
+            color = rng.uniform(10, 220, 3)
+            x1, y1 = int(max(ox, 0)), int(max(oy, 0))
+            x2 = int(min(ox + ow, size))
+            y2 = int(min(oy + oh, size))
+            if x2 > x1 and y2 > y1:
+                canvas[y1:y2, x1:x2] = color[None, None]
+
     # --- photometric pipeline (applies to the whole scene) -----------------
     # brightness / contrast / color cast
     gain = rng.uniform(0.55, 1.35)
@@ -553,7 +573,21 @@ def render_scene(
     # sensor noise
     if rng.random() < 0.6:
         canvas = canvas + rng.normal(0, rng.uniform(1, 8), canvas.shape)
-    return np.clip(canvas, 0, 255).astype(np.float32), boxes, lms, valid
+    canvas = np.clip(canvas, 0, 255)
+    # JPEG compression artifacts (webcam / recompressed uploads): block
+    # ringing changes local statistics in a way gaussian noise does not.
+    if rng.random() < 0.3:
+        quality = int(rng.integers(25, 90))
+        ok, enc = cv2.imencode(
+            ".jpg",
+            canvas.astype(np.uint8)[..., ::-1],
+            [int(cv2.IMWRITE_JPEG_QUALITY), quality],
+        )
+        if ok:
+            canvas = cv2.imdecode(enc, cv2.IMREAD_COLOR)[..., ::-1].astype(
+                np.float32
+            )
+    return canvas.astype(np.float32), boxes, lms, valid
 
 
 def scene_batch(

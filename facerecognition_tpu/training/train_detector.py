@@ -273,6 +273,7 @@ class CurriculumConfig:
     max_faces: int = 2
     p_face: float = 0.92
     prefetch_threads: int = 4
+    arch: str = "blaze"  # see models.detector_net.DETECTOR_ARCHS
 
 
 def train_detector_curriculum(
@@ -293,9 +294,10 @@ def train_detector_curriculum(
     import queue
     import threading
 
+    from facerecognition_tpu.models.detector_net import build_detector_net
     from facerecognition_tpu.training.synthetic_faces import scene_batch
 
-    net = BlazeFaceNet()
+    net = build_detector_net(config.arch)
     anchors = jnp.asarray(anchor_centers(config.input_size))
     if init_variables is not None:
         variables = {"params": init_variables["params"]}

@@ -233,3 +233,75 @@ class TestSyntheticTraining:
                 center_ok += 1
         assert hits >= 16, f"only {hits}/24 detections"
         assert center_ok >= hits * 0.7
+
+
+class TestDenseDetNet:
+    """v3 MXU-dense backbone: same (B, A, 15) contract as BlazeFaceNet so
+    anchors/decode/NMS/training are shared."""
+
+    def test_output_contract_matches_anchors(self):
+        from facerecognition_tpu.models.detector_net import (
+            DenseDetNet,
+            anchor_centers,
+        )
+
+        net = DenseDetNet()
+        v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        out = net.apply(v, jnp.zeros((2, 128, 128, 3)))
+        assert out.shape == (2, len(anchor_centers(128)), 15)
+
+    def test_build_by_arch(self):
+        from facerecognition_tpu.models.detector_net import (
+            BlazeFaceNet,
+            DenseDetNet,
+            build_detector_net,
+        )
+
+        assert isinstance(build_detector_net("blaze"), BlazeFaceNet)
+        assert isinstance(build_detector_net("dense"), DenseDetNet)
+        with pytest.raises(ValueError, match="unknown detector arch"):
+            build_detector_net("resnext")
+
+    def test_checkpoint_arch_roundtrip(self, tmp_path):
+        """FaceDetector picks the net class from the checkpoint's arch key
+        (and keeps calibration handling intact)."""
+        from facerecognition_tpu.models.detector_net import DenseDetNet
+        from facerecognition_tpu.preprocessing.face_detector import (
+            FaceDetector,
+        )
+        from facerecognition_tpu.utils.serialization import save_variables
+
+        net = DenseDetNet()
+        v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        p = str(tmp_path / "det.msgpack")
+        save_variables(
+            p,
+            {
+                "params": v["params"],
+                "arch": "dense",
+                "calibration": {"a": 1.5, "b": -0.2},
+            },
+        )
+        det = FaceDetector(weights=p, confidence_threshold=0.3)
+        assert det.arch == "dense"
+        assert isinstance(det.net, DenseDetNet)
+        assert det._calibration == (1.5, -0.2)
+        img = np.random.default_rng(0).integers(0, 256, (96, 96, 3)).astype(
+            np.uint8
+        )
+        det.detect_all(img)  # runs without shape errors
+
+    def test_legacy_checkpoint_defaults_to_blaze(self, tmp_path):
+        from facerecognition_tpu.models.detector_net import BlazeFaceNet
+        from facerecognition_tpu.preprocessing.face_detector import (
+            FaceDetector,
+        )
+        from facerecognition_tpu.utils.serialization import save_variables
+
+        net = BlazeFaceNet()
+        v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        p = str(tmp_path / "det.msgpack")
+        save_variables(p, {"params": v["params"]})
+        det = FaceDetector(weights=p)
+        assert det.arch == "blaze"
+        assert isinstance(det.net, BlazeFaceNet)
