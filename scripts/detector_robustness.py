@@ -21,9 +21,15 @@ import cv2
 import numpy as np
 
 PHOTO = "/root/reference/uploads/anh1.jpg"
-# Hand-annotated face box on anh1.jpg (x1, y1, x2, y2) — same ground truth
-# as tests/test_real_face.py.
-GT_BOX = np.array([88.0, 118.0, 233.0, 310.0], np.float32)
+# Hand-annotated face box (x1, y1, x2, y2) — the same ground truth as
+# tests/test_real_face.py (tests/fixtures/anh1_gt.json).
+_GT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "anh1_gt.json",
+)
+GT_BOX = np.array(json.load(open(_GT))["bbox"], np.float32)
 
 
 def _iou(a, b):
@@ -133,8 +139,8 @@ def main():
                 group=group,
                 name=name,
                 detected=bool(found),
-                iou=round(best_iou, 3),
-                conf=round(best_conf, 3),
+                iou=round(float(best_iou), 3),
+                conf=round(float(best_conf), 3),
                 n_dets=len(dets),
             )
         )
