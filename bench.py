@@ -30,9 +30,48 @@ import numpy as np
 _ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
 # Trained weights (committed): the curriculum detector and the
 # synthetic-identity ArcFace embedder — when present the bench measures a
-# working system, not random init (VERDICT r1 item 10).
-DETECTOR_WEIGHTS = os.path.join(_ASSETS, "detector_v2_128.msgpack")
+# working system, not random init (VERDICT r1 item 10). Prefer the v3
+# MXU-dense detector when trained.
+DETECTOR_WEIGHTS = next(
+    (
+        p
+        for p in (
+            os.path.join(_ASSETS, "detector_v3_128.msgpack"),
+            os.path.join(_ASSETS, "detector_v2_128.msgpack"),
+        )
+        if os.path.exists(p)
+    ),
+    os.path.join(_ASSETS, "detector_v2_128.msgpack"),
+)
 EMBEDDER_WEIGHTS = os.path.join(_ASSETS, "arcface_synthid_512.msgpack")
+
+
+def load_detector(det_size):
+    """(net, variables, calibration|None) with checkpoint-carried arch."""
+    import jax
+    import jax.numpy as jnp
+
+    from facerecognition_tpu.models.detector_net import build_detector_net
+    from facerecognition_tpu.utils.serialization import load_variables
+
+    if os.path.exists(DETECTOR_WEIGHTS):
+        variables = load_variables(DETECTOR_WEIGHTS)
+        raw_arch = variables.pop("arch", None)
+        arch = (
+            raw_arch.decode()
+            if isinstance(raw_arch, bytes)
+            else str(raw_arch)
+            if raw_arch is not None
+            else "blaze"
+        )
+        cal = variables.pop("calibration", None)
+        net = build_detector_net(arch)
+        return net, variables, cal
+    net = build_detector_net("blaze")
+    variables = net.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, det_size, det_size, 3))
+    )
+    return net, variables, None
 
 
 def build_pipeline():
@@ -41,7 +80,6 @@ def build_pipeline():
 
     from facerecognition_tpu.models.arcface import ArcFaceModel
     from facerecognition_tpu.models.detector_net import (
-        BlazeFaceNet,
         anchor_centers,
         detect_faces_batch,
     )
@@ -60,13 +98,7 @@ def build_pipeline():
         }
     else:
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
-    det_net = BlazeFaceNet()
-    if os.path.exists(DETECTOR_WEIGHTS):
-        det_vars = load_variables(DETECTOR_WEIGHTS)
-    else:
-        det_vars = det_net.init(
-            jax.random.PRNGKey(1), jnp.zeros((1, DET_SIZE, DET_SIZE, 3))
-        )
+    det_net, det_vars, _ = load_detector(DET_SIZE)
     anchors = jnp.asarray(anchor_centers(DET_SIZE))
 
     def one_batch(frames, gallery):
@@ -153,20 +185,14 @@ def main():
     # Detection sanity on the bench inputs (host-side, outside the timing).
     mean_det = None
     if not args.noise:
-        import jax as _jax
-
         from facerecognition_tpu.models.detector_net import (
-            BlazeFaceNet,
             anchor_centers,
             detect_faces_batch,
         )
         from facerecognition_tpu.ops.warp_mxu import bilinear_resize_mxu_batch
-        from facerecognition_tpu.utils.serialization import load_variables
 
-        det_net = BlazeFaceNet()
         if os.path.exists(DETECTOR_WEIGHTS):
-            dv = load_variables(DETECTOR_WEIGHTS)
-            cal = dv.pop("calibration", None)
+            det_net, dv, cal = load_detector(128)
             small = bilinear_resize_mxu_batch(
                 jnp.asarray(frames), 128, 128, True
             )

@@ -498,10 +498,11 @@ def render_scene(
                 else sample_identity(rng)
             )
             img, a, lm, hbox = render_face_patch(rng, p, patch)
-            # Face width fraction of the frame (covers tight portrait crops
-            # like anh1.jpg where the face is ~40% of the image, down to
-            # surveillance-scale small faces).
-            frac_hi = 0.62 if n == 1 else 0.34
+            # Face width fraction of the frame: surveillance-scale small
+            # faces up to near-full-frame tight crops (a portrait cropped to
+            # the head puts the face at ~0.8 of the image — the v3 detector
+            # mislocalized those until the curriculum covered them).
+            frac_hi = 0.80 if n == 1 else 0.34
             frac = rng.uniform(0.16, frac_hi)
             scale = frac * size / (2 * patch * 0.27)
             # ±30°: covers the real-photo robustness matrix's rotation sweep

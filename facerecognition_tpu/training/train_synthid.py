@@ -45,6 +45,7 @@ class SynthIdConfig:
     label_smoothing: float = 0.1
     embedding_size: int = 512
     seed: int = 0
+    cache: str | None = None  # npz path: render once, reuse across runs
 
 
 def _embed_all(model, params, batch_stats, images_u8, batch=256):
@@ -131,14 +132,25 @@ def train_synthid(config: SynthIdConfig, log=print):
     from facerecognition_tpu.training.synthetic_faces import identity_dataset
 
     t0 = time.time()
-    log(f"rendering {config.n_ids} ids x "
-        f"{config.train_per_id + config.val_per_id} samples ...")
-    imgs, labels = identity_dataset(
-        config.n_ids,
-        config.train_per_id + config.val_per_id,
-        out_size=112,
-        seed=config.seed,
-    )
+    k_total = config.train_per_id + config.val_per_id
+    if config.cache and __import__("os").path.exists(config.cache):
+        log(f"loading cached dataset {config.cache} ...")
+        with np.load(config.cache) as z:
+            imgs, labels = z["imgs"], z["labels"]
+        expect = config.n_ids * k_total
+        if len(imgs) != expect:
+            raise ValueError(
+                f"cache {config.cache} has {len(imgs)} samples, expected "
+                f"{expect} ({config.n_ids} ids x {k_total})"
+            )
+    else:
+        log(f"rendering {config.n_ids} ids x {k_total} samples ...")
+        imgs, labels = identity_dataset(
+            config.n_ids, k_total, out_size=112, seed=config.seed
+        )
+        if config.cache:
+            np.savez(config.cache, imgs=imgs, labels=labels)
+            log(f"cached dataset -> {config.cache}")
     k = config.train_per_id + config.val_per_id
     mask = (np.arange(len(imgs)) % k) < config.train_per_id
     tr_imgs, tr_labels = imgs[mask], labels[mask]

@@ -17,10 +17,21 @@ import pytest
 
 REAL_PHOTO = "/root/reference/uploads/anh1.jpg"
 GT_PATH = os.path.join(os.path.dirname(__file__), "fixtures", "anh1_gt.json")
-CKPT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "assets",
-    "detector_v2_128.msgpack",
+_ASSETS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets"
+)
+# Same preference order as FaceDetector's default: the shipped v3 dense
+# detector, else the v2 curriculum one.
+CKPT = next(
+    (
+        p
+        for p in (
+            os.path.join(_ASSETS, "detector_v3_128.msgpack"),
+            os.path.join(_ASSETS, "detector_v2_128.msgpack"),
+        )
+        if os.path.exists(p)
+    ),
+    os.path.join(_ASSETS, "detector_v2_128.msgpack"),
 )
 
 pytestmark = [
