@@ -275,6 +275,8 @@ def main():
     ap.add_argument("--lr", type=float, default=0.05)
     ap.add_argument("--out", default="assets/arcface_synthid_512.msgpack")
     ap.add_argument("--report", default="docs/SYNTHID_EVAL.json")
+    ap.add_argument("--cache", default=None,
+                    help="npz dataset cache (render once, reuse)")
     args = ap.parse_args()
     config = SynthIdConfig(
         n_ids=args.n_ids,
@@ -283,6 +285,7 @@ def main():
         val_per_id=args.val_per_id,
         batch_size=args.batch_size,
         lr=args.lr,
+        cache=args.cache,
     )
     variables, history, final = train_synthid(config)
     # Strip the margin head: the serving checkpoint loads into
