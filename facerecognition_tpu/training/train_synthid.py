@@ -46,6 +46,13 @@ class SynthIdConfig:
     embedding_size: int = 512
     seed: int = 0
     cache: str | None = None  # npz path: render once, reuse across runs
+    # Keep the uint8 train set resident in HBM when it fits (one transfer
+    # for the whole run, batches gathered on device by index). Streaming
+    # from host each step leaked ~one batch of host buffers per step on the
+    # axon tunnel (a 9k-id run grew to 130GB RSS and was OOM-killed).
+    device_data_budget_bytes: int = 5 << 30
+    ckpt_path: str | None = None  # per-epoch crash checkpoint (msgpack)
+    resume: bool = False
 
 
 def _embed_all(model, params, batch_stats, images_u8, batch=256):
@@ -65,10 +72,11 @@ def _embed_all(model, params, batch_stats, images_u8, batch=256):
     out = []
     n = len(images_u8)
     for i in range(0, n, batch):
-        chunk = np.asarray(images_u8[i : i + batch], np.float32)
+        # Ship uint8 (4x less host->device traffic than f32); cast on device.
+        chunk = np.ascontiguousarray(images_u8[i : i + batch])
         if len(chunk) < batch:  # pad to keep one compiled shape
             chunk = np.concatenate(
-                [chunk, np.zeros((batch - len(chunk),) + chunk.shape[1:], np.float32)]
+                [chunk, np.zeros((batch - len(chunk),) + chunk.shape[1:], chunk.dtype)]
             )
         out.append(np.asarray(fwd(jnp.asarray(chunk))))
     return np.concatenate(out)[:n]
@@ -210,24 +218,87 @@ def train_synthid(config: SynthIdConfig, log=print):
         images = (images / 255.0 - 0.5) / 0.5
         return raw_step(state, images, labels, rng_step)
 
-    step_fn = jax.jit(step_with_aug, donate_argnums=(0,))
+    # Two dispatch modes for the batch source:
+    #  - resident: the whole uint8 train set lives in HBM; each step ships
+    #    only a (B,) int32 index vector and gathers on device. Zero per-step
+    #    image transfer (and zero host-buffer churn — see config docstring).
+    #  - streaming: uint8 batches shipped per step (4x lighter than the old
+    #    f32 path) for datasets too big for the HBM budget.
+    resident = tr_imgs.nbytes <= config.device_data_budget_bytes
+
+    if resident:
+        data_dev = jnp.asarray(tr_imgs)  # uint8, one transfer
+        labels_dev = jnp.asarray(tr_labels, jnp.int32)
+
+        def step_resident(state, data, labels_all, idx, rng):
+            return step_with_aug(
+                state,
+                jnp.take(data, idx, axis=0),
+                jnp.take(labels_all, idx, axis=0),
+                rng,
+            )
+
+        step_fn = jax.jit(step_resident, donate_argnums=(0,))
+    else:
+        step_fn = jax.jit(step_with_aug, donate_argnums=(0,))
+    log(f"batch source: {'HBM-resident' if resident else 'host-streaming'} "
+        f"({tr_imgs.nbytes / 2**30:.1f} GiB uint8)")
+
+    def crash_save(epoch, history):
+        if not config.ckpt_path:
+            return
+        from facerecognition_tpu.utils.serialization import save_variables
+
+        tmp = config.ckpt_path + ".tmp"
+        save_variables(
+            tmp, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        __import__("os").replace(tmp, config.ckpt_path)
+        with open(config.ckpt_path + ".meta.json", "w") as f:
+            json.dump({"epoch": epoch, "history": history}, f)
 
     history = []
+    start_epoch = 0
+    if config.resume and config.ckpt_path:
+        import os
+
+        from facerecognition_tpu.utils.serialization import load_variables
+
+        if os.path.exists(config.ckpt_path):
+            tree = load_variables(config.ckpt_path)
+            state = state.replace(
+                params=tree["params"], batch_stats=tree["batch_stats"]
+            )
+            with open(config.ckpt_path + ".meta.json") as f:
+                meta = json.load(f)
+            start_epoch = meta["epoch"] + 1
+            history = meta["history"]
+            log(f"resumed from {config.ckpt_path} at epoch {start_epoch} "
+                "(optimizer state restarts)")
+
     data_rng = np.random.default_rng(config.seed + 1)
     key = jax.random.PRNGKey(config.seed + 2)
     for epoch in range(config.epochs):
         perm = data_rng.permutation(len(tr_imgs))
+        key, *subs = jax.random.split(key, steps_per_epoch + 1)
+        if epoch < start_epoch:
+            continue  # burn the same rng stream so resume stays deterministic
         ep_loss = ep_acc = 0.0
         te = time.time()
         for s in range(steps_per_epoch):
             sel = perm[s * config.batch_size : (s + 1) * config.batch_size]
-            key, sub = jax.random.split(key)
-            state, metrics = step_fn(
-                state,
-                jnp.asarray(np.asarray(tr_imgs[sel], np.float32)),
-                jnp.asarray(tr_labels[sel]),
-                sub,
-            )
+            if resident:
+                state, metrics = step_fn(
+                    state, data_dev, labels_dev,
+                    jnp.asarray(sel, jnp.int32), subs[s],
+                )
+            else:
+                state, metrics = step_fn(
+                    state,
+                    jnp.asarray(np.ascontiguousarray(tr_imgs[sel])),
+                    jnp.asarray(tr_labels[sel]),
+                    subs[s],
+                )
             ep_loss += float(metrics["loss"])
             ep_acc += float(metrics["train_acc"])
         row = {
@@ -237,6 +308,7 @@ def train_synthid(config: SynthIdConfig, log=print):
             "sec": round(time.time() - te, 1),
         }
         history.append(row)
+        crash_save(epoch, history)
         log(f"epoch {epoch}: loss {row['loss']:.4f} "
             f"train_acc {row['train_acc']:.3f} ({row['sec']}s)")
     # Final evaluation through the eval suite.
@@ -277,6 +349,10 @@ def main():
     ap.add_argument("--report", default="docs/SYNTHID_EVAL.json")
     ap.add_argument("--cache", default=None,
                     help="npz dataset cache (render once, reuse)")
+    ap.add_argument("--ckpt", default=None,
+                    help="per-epoch crash checkpoint path (msgpack)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --ckpt if it exists")
     args = ap.parse_args()
     config = SynthIdConfig(
         n_ids=args.n_ids,
@@ -286,6 +362,8 @@ def main():
         batch_size=args.batch_size,
         lr=args.lr,
         cache=args.cache,
+        ckpt_path=args.ckpt,
+        resume=args.resume,
     )
     variables, history, final = train_synthid(config)
     # Strip the margin head: the serving checkpoint loads into
