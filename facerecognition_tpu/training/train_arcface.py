@@ -327,7 +327,13 @@ class ArcFaceTrainer:
             return raw_step(state, images, labels, rng_step)
 
         self._train_step = jax.jit(step_with_aug, donate_argnums=(0,))
-        self._eval_step = jax.jit(make_arcface_eval_step(self.model))
+        _raw_eval = make_arcface_eval_step(self.model)
+
+        def eval_u8(state, images_u8):
+            x = (images_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            return _raw_eval(state, x)
+
+        self._eval_step = jax.jit(eval_u8)
 
     # -- loops --------------------------------------------------------------
 
@@ -374,7 +380,11 @@ class ArcFaceTrainer:
             rng, sub = jax.random.split(rng)
             self.state, metrics = self._train_step(
                 self.state,
-                self._device_batch(images.astype(np.float32)),
+                # Ship uint8; the jitted step casts on device. f32 host
+                # transfers are 4x the bytes AND the axon plugin leaks every
+                # transferred byte in host RSS (never freed) — a 9k-id run
+                # OOM-killed the host at 130GB before this was diagnosed.
+                self._device_batch(images),
                 self._device_batch(labels),
                 sub,
             )
@@ -402,9 +412,8 @@ class ArcFaceTrainer:
             chunk = list(range(start, min(start + bs, len(idx))))
             imgs = np.stack(
                 [_load_resize(idx.paths[i], d["image_size"]) for i in chunk]
-            ).astype(np.float32)
-            x = (imgs / 255.0 - 0.5) / 0.5
-            emb = np.asarray(self._eval_step(self.state, jnp.asarray(x)))
+            )  # uint8: normalized on device (see train_epoch dtype note)
+            emb = np.asarray(self._eval_step(self.state, jnp.asarray(imgs)))
             embs.append(emb)
             labels.append(idx.labels[chunk])
         embeddings = np.concatenate(embs)

@@ -55,6 +55,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "val_frac": 0.1,
         "augmentation": "light",
         "num_workers": 8,
+        # "auto": decode the train split once into an HBM-resident uint8
+        # array when it fits (<=4GiB) and gather batches on device; False
+        # forces the streaming BatchLoader (always used on a data mesh).
+        "resident": "auto",
     },
     "train": {
         "p_identities": 8,
@@ -157,10 +161,24 @@ class FaceNetTrainer:
 
         self._train_step = jax.jit(step_with_aug, donate_argnums=(0,))
 
-        def eval_fn(state, images):
+        def step_resident(state, data, labels_all, idx, rng):
+            # Whole-dataset uint8 array lives in HBM; only a (B,) int32
+            # index vector crosses the host->device boundary per step.
+            return step_with_aug(
+                state,
+                jnp.take(data, idx, axis=0),
+                jnp.take(labels_all, idx, axis=0),
+                rng,
+            )
+
+        self._train_step_resident = jax.jit(step_resident, donate_argnums=(0,))
+        self._resident_data = None
+
+        def eval_fn(state, images_u8):
+            x = (images_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
             return self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                images,
+                x,
             )
 
         self._eval_step = jax.jit(eval_fn)
@@ -192,6 +210,43 @@ class FaceNetTrainer:
             return shard_batch(jnp.asarray(array), self.mesh)
         return jnp.asarray(array)
 
+    def _ensure_resident(self) -> bool:
+        """Decode the whole train split into one HBM-resident uint8 array.
+
+        Per-step host->device image transfers are both the throughput
+        bottleneck (the loader thread feeds the axon tunnel) and a host
+        memory hazard: the plugin leaks every transferred byte in RSS.
+        Residency eliminates both for datasets within the HBM budget.
+        Only used on the single-device path — the data-mesh path keeps the
+        streaming loader whose GSPMD sharding is mesh-tested.
+        """
+        if self._resident_data is not None:
+            return True
+        d = self.config["data"]
+        mode = d.get("resident", "auto")
+        if mode is False or self.mesh is not None:
+            return False
+        n = len(self.train_index)
+        s = d["image_size"]
+        if mode == "auto" and n * s * s * 3 > (4 << 30):
+            return False
+        from concurrent.futures import ThreadPoolExecutor
+
+        from facerecognition_tpu.data.loader import _load_resize
+
+        arr = np.empty((n, s, s, 3), np.uint8)
+
+        def _load(i):
+            arr[i] = _load_resize(self.train_index.paths[i], s)
+
+        with ThreadPoolExecutor(d["num_workers"]) as ex:
+            list(ex.map(_load, range(n)))
+        self._resident_data = jnp.asarray(arr)
+        self._resident_labels = jnp.asarray(
+            self.train_index.labels, jnp.int32
+        )
+        return True
+
     def train_epoch(self) -> dict:
         c = self.config
         t = c["train"]
@@ -203,28 +258,44 @@ class FaceNetTrainer:
                 seed=t["seed"] + self.epoch,
             )
         )
-        loader = BatchLoader(
-            self.train_index,
-            sampler,
-            image_size=c["data"]["image_size"],
-            n_workers=c["data"]["num_workers"],
-        )
         rng = jax.random.PRNGKey(t["seed"] * 77 + self.epoch)
         losses, n_triplets = [], []
         t0 = time.time()
-        it = iter(loader)
-        for _ in range(self._steps_per_epoch()):
-            images, labels = next(it)
-            rng, sub = jax.random.split(rng)
-            self.state, metrics = self._train_step(
-                self.state,
-                self._device_batch(images.astype(np.float32)),
-                self._device_batch(labels),
-                sub,
+        if self._ensure_resident():
+            for _ in range(self._steps_per_epoch()):
+                idx = next(sampler)
+                rng, sub = jax.random.split(rng)
+                self.state, metrics = self._train_step_resident(
+                    self.state,
+                    self._resident_data,
+                    self._resident_labels,
+                    jnp.asarray(idx, jnp.int32),
+                    sub,
+                )
+                losses.append(float(metrics["loss"]))
+                n_triplets.append(float(metrics["n_triplets"]))
+        else:
+            loader = BatchLoader(
+                self.train_index,
+                sampler,
+                image_size=c["data"]["image_size"],
+                n_workers=c["data"]["num_workers"],
             )
-            losses.append(float(metrics["loss"]))
-            n_triplets.append(float(metrics["n_triplets"]))
-        loader.stop()
+            it = iter(loader)
+            for _ in range(self._steps_per_epoch()):
+                images, labels = next(it)
+                rng, sub = jax.random.split(rng)
+                self.state, metrics = self._train_step(
+                    self.state,
+                    # uint8 across the wire; cast on device (dtype note in
+                    # train_arcface.train_epoch).
+                    self._device_batch(images),
+                    self._device_batch(labels),
+                    sub,
+                )
+                losses.append(float(metrics["loss"]))
+                n_triplets.append(float(metrics["n_triplets"]))
+            loader.stop()
         return {
             "train_loss": float(np.mean(losses)),
             "avg_triplets": float(np.mean(n_triplets)),
@@ -247,17 +318,16 @@ class FaceNetTrainer:
                     _load_resize(idx.paths[i], c["data"]["image_size"])
                     for i in chunk
                 ]
-            ).astype(np.float32)
+            )  # uint8: normalized on device (dtype note in train_epoch)
             n = len(imgs)
             if n < bs:
                 # Pad the ragged tail to the compiled batch shape — a raw
                 # remainder size would trigger a second multi-minute
                 # InceptionResnetV1 compile (batch-bucket discipline).
                 imgs = np.concatenate(
-                    [imgs, np.zeros((bs - n,) + imgs.shape[1:], np.float32)]
+                    [imgs, np.zeros((bs - n,) + imgs.shape[1:], imgs.dtype)]
                 )
-            x = (imgs / 255.0 - 0.5) / 0.5
-            out = np.asarray(self._eval_step(self.state, jnp.asarray(x)))
+            out = np.asarray(self._eval_step(self.state, jnp.asarray(imgs)))
             embs.append(out[:n])
         embeddings = np.concatenate(embs)
         labels = idx.labels
