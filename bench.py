@@ -81,7 +81,7 @@ def build_pipeline():
     from facerecognition_tpu.models.arcface import ArcFaceModel
     from facerecognition_tpu.models.detector_net import (
         anchor_centers,
-        detect_faces_batch,
+        detect_best_face_batch,
     )
     from facerecognition_tpu.ops.image import normalize_imagenet_style
     from facerecognition_tpu.ops.matcher import auto_cosine_topk, l2_normalize
@@ -106,12 +106,13 @@ def build_pipeline():
         h = frames.shape[1]
         small = bilinear_resize_mxu_batch(frames, DET_SIZE, DET_SIZE, True)
         raw = det_net.apply(det_vars, small / 127.5 - 1.0)
-        boxes, lms, det_scores, valid = detect_faces_batch(
-            raw, anchors, 0.3, 4
-        )
-        # best face per frame → landmarks in frame coords (clamped so the
-        # warp samples inside the frame regardless of detector training)
-        lm = jnp.clip(lms[:, 0] * (h / DET_SIZE), 0.0, h - 1.0)  # (B, 5, 2)
+        # One face per frame: argmax decode — identical to greedy NMS's
+        # first pick but without the all-anchor top-k (detector_net.
+        # detect_best_face; parity test in tests/test_detector.py).
+        _, lms, det_scores = detect_best_face_batch(raw, anchors)
+        # landmarks in frame coords (clamped so the warp samples inside
+        # the frame regardless of detector training)
+        lm = jnp.clip(lms * (h / DET_SIZE), 0.0, h - 1.0)  # (B, 5, 2)
         # --- align → embed → match ----------------------------------------
         aligned = align_crop_mxu_batch(frames, lm, 112, True)
         x = normalize_imagenet_style(aligned)

@@ -231,3 +231,31 @@ def detect_faces(
 detect_faces_batch = jax.vmap(
     detect_faces, in_axes=(0, None, None, None)
 )
+
+
+def detect_best_face(raw: jax.Array, anchors: jax.Array):
+    """Single best face for ONE image: argmax + one-anchor decode.
+
+    The one-face-per-frame serving contract (engine ``recognize()``, the
+    fused bench graph) consumes only the top detection, and greedy NMS's
+    FIRST pick is by construction the score argmax — so for that contract
+    this is exactly ``detect_faces(..., max_faces=1)``'s top slot without
+    the all-anchor top-k prefilter or the NMS loop (the post-process
+    stage's dominant costs, scripts/profile_pipeline.py).
+
+    Returns (box (4,) xyxy, landmarks (5, 2), score ()).
+    """
+    i = jnp.argmax(raw[:, 0])  # sigmoid is monotonic: argmax on the logit
+    r = raw[i]
+    a = anchors[i]
+    score = jax.nn.sigmoid(r[0])
+    cx = a[0] + r[1] * a[2] * 0.5
+    cy = a[1] + r[2] * a[2] * 0.5
+    w = jnp.exp(jnp.clip(r[3], -4.0, 4.0)) * a[2]
+    h = jnp.exp(jnp.clip(r[4], -4.0, 4.0)) * a[2]
+    box = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
+    lm = r[5:15].reshape(5, 2) * a[2] * 0.5 + jnp.stack([a[0], a[1]])
+    return box, lm, score
+
+
+detect_best_face_batch = jax.vmap(detect_best_face, in_axes=(0, None))

@@ -95,6 +95,26 @@ class TestDetectorNet:
         assert lms.shape == (8, 5, 2)
         assert scores.shape == valid.shape == (8,)
 
+    def test_best_face_matches_nms_top1(self, rng):
+        # The argmax fast path must agree EXACTLY with greedy NMS's first
+        # pick (which is by construction the score argmax) — this is the
+        # contract that lets the fused bench/serving graph skip top-k+NMS
+        # for the one-face-per-frame case.
+        from facerecognition_tpu.models.detector_net import (
+            detect_best_face,
+        )
+
+        a = jnp.asarray(anchor_centers(128))
+        for seed in range(3):
+            r = np.random.default_rng(seed)
+            raw = jnp.asarray(r.normal(size=(len(a), 15)).astype(np.float32))
+            boxes, lms, scores, valid = detect_faces(raw, a, 0.3, 4)
+            bbox, blm, bscore = detect_best_face(raw, a)
+            assert bool(valid[0])
+            np.testing.assert_allclose(bbox, boxes[0], rtol=1e-6)
+            np.testing.assert_allclose(blm, lms[0], rtol=1e-6)
+            np.testing.assert_allclose(bscore, scores[0], rtol=1e-6)
+
 
 class TestCurriculumRobustness:
     def test_producer_death_raises_not_hangs(self, monkeypatch):
