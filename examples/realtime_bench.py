@@ -37,7 +37,7 @@ def main(argv=None):
     from facerecognition_tpu.models.detector_net import (
         BlazeFaceNet,
         anchor_centers,
-        detect_faces,
+        detect_best_face,
     )
     from facerecognition_tpu.ops.image import normalize_imagenet_style
     from facerecognition_tpu.ops.matcher import cosine_topk, l2_normalize
@@ -60,19 +60,23 @@ def main(argv=None):
     def one_frame(frame):
         small = bilinear_resize_mxu_batch(frame[None], DET, DET)[0]
         raw = det_net.apply(det_vars, (small / 127.5 - 1.0)[None])[0]
-        boxes, lms, det_scores, valid = detect_faces(raw, anchors, 0.3, 4)
+        # One face per frame (the realtime contract): argmax decode — see
+        # detector_net.detect_best_face (exact top-1 parity with NMS).
+        _, lms, det_score = detect_best_face(raw, anchors)
         # per-axis clip — a single min(h,w) bound would cap x at h-1 on a
         # wide frame, collapsing landmarks for faces in the right portion
         lm = jnp.clip(
-            lms[0] * jnp.array([w / DET, h / DET]),
+            lms * jnp.array([w / DET, h / DET]),
             0.0,
             jnp.array([w - 1.0, h - 1.0]),
         )
         aligned = align_crop_mxu_batch(frame[None], lm[None], 112)
         x = normalize_imagenet_style(aligned)
         emb = l2_normalize(model.apply(variables, x).astype(jnp.float32))
-        scores, idx = cosine_topk(emb, gallery, 5)
-        return scores[0, 0] + det_scores[0]
+        # Gallery rows are unit-norm (enrollment contract) — skip the
+        # per-frame (N, D) normalize pass, as in bench.py.
+        scores, idx = cosine_topk(emb, gallery, 5, normalized=True)
+        return scores[0, 0] + det_score
 
     def sequential(frames):
         # Each frame's pixels are perturbed by the previous result — a real
@@ -85,9 +89,9 @@ def main(argv=None):
         return out
 
     rng = np.random.default_rng(0)
-    gallery = jnp.asarray(
-        rng.normal(size=(args.gallery, 512)).astype(np.float32)
-    )
+    gal = rng.normal(size=(args.gallery, 512)).astype(np.float32)
+    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+    gallery = jnp.asarray(gal)
     frames = jnp.asarray(
         rng.integers(0, 256, (args.frames, h, w, 3)).astype(np.float32)
     )

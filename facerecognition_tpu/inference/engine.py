@@ -346,7 +346,10 @@ class RecognitionEngine:
         """
         import functools
 
-        from facerecognition_tpu.models.detector_net import detect_faces
+        from facerecognition_tpu.models.detector_net import (
+            detect_best_face,
+            detect_faces,
+        )
         from facerecognition_tpu.ops.image import normalize_imagenet_style
         from facerecognition_tpu.ops.warp_mxu import (
             align_crop_mxu_batch,
@@ -363,11 +366,23 @@ class RecognitionEngine:
             bsz = frames.shape[0]
             small = bilinear_resize_mxu_batch(frames, det_size, det_size, True)
             raw = det.net.apply(det_vars, small / 127.5 - 1.0)
-            boxes, lms, det_scores, valid = jax.vmap(
-                lambda r: detect_faces(
-                    r, det.anchors, det.iou_threshold, max_faces
-                )
-            )(raw)  # (B, M, 4), (B, M, 5, 2), (B, M), (B, M)
+            if max_faces == 1:
+                # One face per frame: greedy NMS's first pick IS the score
+                # argmax, so skip the all-anchor top-k + NMS loop entirely
+                # (detect_best_face; exact-parity test in test_detector.py).
+                b1, l1, s1 = jax.vmap(
+                    lambda r: detect_best_face(r, det.anchors)
+                )(raw)
+                boxes = b1[:, None]
+                lms = l1[:, None]
+                det_scores = s1[:, None]
+                valid = jnp.ones((bsz, 1), bool)
+            else:
+                boxes, lms, det_scores, valid = jax.vmap(
+                    lambda r: detect_faces(
+                        r, det.anchors, det.iou_threshold, max_faces
+                    )
+                )(raw)  # (B, M, 4), (B, M, 5, 2), (B, M), (B, M)
             scale = jnp.array([w / det_size, h / det_size], jnp.float32)
             lm = jnp.clip(
                 lms * scale, 0.0, jnp.array([w - 1.0, h - 1.0])

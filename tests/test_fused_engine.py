@@ -147,6 +147,31 @@ class TestFusedPipeline:
         res = engine.fused_recognize_frames(imgs, k=1)
         assert all(len(r["faces"]) <= 1 for r in res)
 
+    def test_fused_argmax_path_matches_nms_top_slot(self, stack, rng):
+        """max_faces=1 takes the argmax decode (detect_best_face) instead of
+        top-k+NMS; its result must agree with the NMS graph's first slot on
+        every frame — same identity, same det score, same bbox."""
+        engine, detector = stack
+        imgs, *_ = synthetic_face_batch(rng, 4, 96, p_face=1.0)
+        if len(engine.gallery) == 0:
+            engine.add_to_db("ax0", [imgs[0].astype(np.uint8)])
+        fast = engine.fused_recognize_frames(imgs, k=2, max_faces=1)
+        slow = engine.fused_recognize_frames(imgs, k=2, max_faces=2)
+        for rf, rs in zip(fast, slow):
+            assert rf["identity"] == rs["identity"]
+            if rf["bbox"] is None:
+                assert rs["bbox"] is None
+                continue
+            np.testing.assert_allclose(rf["bbox"], rs["bbox"], rtol=1e-5)
+            np.testing.assert_allclose(
+                rf["faces"][0]["det_score"],
+                rs["faces"][0]["det_score"],
+                rtol=1e-5,
+            )
+            np.testing.assert_allclose(
+                rf["confidence"], rs["confidence"], rtol=1e-5
+            )
+
     def test_recognize_all_staged_multiface(self, stack, rng):
         """Staged multi-face path (arbitrary image sizes — the web upload
         route): every detected face comes back with identity+bbox."""
