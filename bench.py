@@ -28,45 +28,30 @@ import time
 import numpy as np
 
 _ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
-# Trained weights (committed): the curriculum detector and the
-# synthetic-identity ArcFace embedder — when present the bench measures a
-# working system, not random init (VERDICT r1 item 10). Prefer the v3
-# MXU-dense detector when trained.
-DETECTOR_WEIGHTS = next(
-    (
-        p
-        for p in (
-            os.path.join(_ASSETS, "detector_v3_128.msgpack"),
-            os.path.join(_ASSETS, "detector_v2_128.msgpack"),
-        )
-        if os.path.exists(p)
-    ),
-    os.path.join(_ASSETS, "detector_v2_128.msgpack"),
-)
 EMBEDDER_WEIGHTS = os.path.join(_ASSETS, "arcface_synthid_512.msgpack")
 
 
 def load_detector(det_size):
-    """(net, variables, calibration|None) with checkpoint-carried arch."""
+    """(net, variables, calibration|None) with checkpoint-carried arch.
+
+    Trained weights (committed) so the bench measures a working system, not
+    random init (VERDICT r1 item 10). Uses the same v3>v2 preference chain
+    and checkpoint decoding as serving (FaceDetector) — single source of
+    truth in preprocessing.face_detector.
+    """
     import jax
     import jax.numpy as jnp
 
     from facerecognition_tpu.models.detector_net import build_detector_net
-    from facerecognition_tpu.utils.serialization import load_variables
+    from facerecognition_tpu.preprocessing.face_detector import (
+        default_detector_checkpoint,
+        load_detector_checkpoint,
+    )
 
-    if os.path.exists(DETECTOR_WEIGHTS):
-        variables = load_variables(DETECTOR_WEIGHTS)
-        raw_arch = variables.pop("arch", None)
-        arch = (
-            raw_arch.decode()
-            if isinstance(raw_arch, bytes)
-            else str(raw_arch)
-            if raw_arch is not None
-            else "blaze"
-        )
-        cal = variables.pop("calibration", None)
-        net = build_detector_net(arch)
-        return net, variables, cal
+    ckpt = default_detector_checkpoint()
+    if ckpt is not None:
+        arch, variables, cal = load_detector_checkpoint(ckpt)
+        return build_detector_net(arch), variables, cal
     net = build_detector_net("blaze")
     variables = net.init(
         jax.random.PRNGKey(1), jnp.zeros((1, det_size, det_size, 3))
@@ -183,6 +168,12 @@ def main():
     # matching Gallery's enrollment-time normalization
     gallery = jnp.asarray(gal_np)
 
+    from facerecognition_tpu.preprocessing.face_detector import (
+        default_detector_checkpoint,
+    )
+
+    have_detector = default_detector_checkpoint() is not None
+
     # Detection sanity on the bench inputs (host-side, outside the timing).
     mean_det = None
     if not args.noise:
@@ -192,7 +183,7 @@ def main():
         )
         from facerecognition_tpu.ops.warp_mxu import bilinear_resize_mxu_batch
 
-        if os.path.exists(DETECTOR_WEIGHTS):
+        if have_detector:
             det_net, dv, cal = load_detector(128)
             small = bilinear_resize_mxu_batch(
                 jnp.asarray(frames), 128, 128, True
@@ -203,10 +194,9 @@ def main():
             )
             best = np.clip(np.asarray(ds[:, 0]), 1e-9, 1 - 1e-9)
             if cal is not None:  # Platt calibration (see FaceDetector)
+                a, b = cal
                 z = np.log(best / (1 - best))
-                best = 1.0 / (
-                    1.0 + np.exp(-(float(cal["a"]) * z + float(cal["b"])))
-                )
+                best = 1.0 / (1.0 + np.exp(-(a * z + b)))
             mean_det = float(np.mean(best))
 
     _ = float(fn(frames_stack, gallery))  # compile + warmup (hard sync)
@@ -228,7 +218,7 @@ def main():
                 "unit": "faces/s",
                 "vs_baseline": round(faces_per_sec / baseline, 2),
                 "gallery": GALLERY,
-                "trained_weights": os.path.exists(DETECTOR_WEIGHTS)
+                "trained_weights": have_detector
                 and os.path.exists(EMBEDDER_WEIGHTS),
                 **(
                     {"mean_det_score": round(mean_det, 3)}

@@ -15,9 +15,24 @@
     const j = await r.json();
     if (j.error) { alert(j.error); return; }
     document.getElementById('jobcard').style.display = 'block';
+    let misses = 0;
     const poll = setInterval(async () => {
-      const s = await (await
-        fetch('/database-builder/status/' + j.job_id)).json();
+      let s;
+      try {
+        const r2 = await fetch('/database-builder/status/' + j.job_id);
+        s = await r2.json();
+        if (!r2.ok || s.error) throw new Error(s.error || r2.status);
+        misses = 0;
+      } catch (err) {
+        // Transient network blips are retried; a job the server no longer
+        // knows (restart wiped the in-memory registry) stops the poll.
+        if (++misses >= 3) {
+          clearInterval(poll);
+          document.getElementById('jtitle').textContent =
+            `build — status unavailable (${err.message})`;
+        }
+        return;
+      }
       document.getElementById('jtitle').textContent =
         `${s.model_type} build — ${s.status}`;
       document.getElementById('bar').style.width = (s.progress ?? 0) + '%';

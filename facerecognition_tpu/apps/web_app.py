@@ -568,6 +568,7 @@ def create_app(
                     "Results",
                     "home",
                     threshold=esc(threshold),
+                    gradcam_checked="checked" if "gradcam" in payload else "",
                     results="".join(cards) + cams,
                 )
             return respond_json(start_response, payload)

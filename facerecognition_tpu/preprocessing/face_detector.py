@@ -40,6 +40,56 @@ from facerecognition_tpu.utils.imageio import load_image
 from facerecognition_tpu.utils.serialization import load_variables
 
 
+#: Shipped checkpoints in preference order: the MXU-dense robustness-trained
+#: v3, then the v2 curriculum detector, then the round-1 synthetic-blob one.
+DEFAULT_CHECKPOINTS = (
+    "detector_v3_128.msgpack",
+    "detector_v2_128.msgpack",
+    "detector_synthetic_128.msgpack",
+)
+
+
+def default_detector_checkpoint() -> Optional[str]:
+    """Path of the best shipped detector checkpoint, or None if none exist.
+
+    Single source of truth for the v3>v2 preference chain — bench.py and the
+    real-photo tests must measure the same detector serving uses.
+    """
+    assets = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "assets",
+    )
+    for name in DEFAULT_CHECKPOINTS:
+        path = os.path.join(assets, name)
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def load_detector_checkpoint(weights) -> tuple[str, dict, Optional[tuple]]:
+    """Decode a detector checkpoint into ``(arch, variables, calibration)``.
+
+    ``weights`` is a msgpack path or an already-loaded variables dict. The
+    architecture marker (v3+ dense nets; absent -> the original
+    BlazeFaceNet) and the Platt score calibration ride in the checkpoint
+    next to the params and are popped out here.
+    """
+    if isinstance(weights, (str, os.PathLike)):
+        variables = load_variables(os.fspath(weights))
+    else:
+        variables = dict(weights)
+    arch = "blaze"
+    raw_arch = variables.pop("arch", None)
+    if raw_arch is not None:
+        arch = raw_arch.decode() if isinstance(raw_arch, bytes) else str(raw_arch)
+    cal = variables.pop("calibration", None)
+    if cal is not None:
+        cal = (float(cal["a"]), float(cal["b"]))
+    return arch, variables, cal
+
+
 class FaceDetector:
     """Multi-face detector with reference-parity filtering semantics."""
 
@@ -71,23 +121,7 @@ class FaceDetector:
 
         if weights is None and input_size == 128:
             # Ship-with-repo checkpoints so detect() works out of the box.
-            # Prefer the MXU-dense robustness-trained v3, then the v2
-            # curriculum detector, then the round-1 synthetic-blob one.
-            assets = os.path.join(
-                os.path.dirname(
-                    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-                ),
-                "assets",
-            )
-            for name in (
-                "detector_v3_128.msgpack",
-                "detector_v2_128.msgpack",
-                "detector_synthetic_128.msgpack",
-            ):
-                default = os.path.join(assets, name)
-                if os.path.exists(default):
-                    weights = default
-                    break
+            weights = default_detector_checkpoint()
         self._calibration: Optional[tuple[float, float]] = None
         arch = "blaze"
         if weights is None:
@@ -97,30 +131,11 @@ class FaceDetector:
                 jnp.zeros((1, input_size, input_size, 3)),
             )
         else:
-            if isinstance(weights, (str, os.PathLike)):
-                self.variables = load_variables(os.fspath(weights))
-            else:
-                self.variables = dict(weights)
-            # Architecture marker rides in the checkpoint (v3+ dense nets);
-            # absent → the original BlazeFaceNet.
-            raw_arch = self.variables.pop("arch", None)
-            if raw_arch is not None:
-                arch = (
-                    raw_arch.decode()
-                    if isinstance(raw_arch, bytes)
-                    else str(raw_arch)
-                )
+            arch, self.variables, self._calibration = (
+                load_detector_checkpoint(weights)
+            )
             self.net = build_detector_net(arch, dtype)
         self.arch = arch
-        # Platt score calibration (training.train_detector.fit_score_
-        # calibration) rides in the checkpoint next to the params.
-        cal = (
-            self.variables.pop("calibration", None)
-            if isinstance(self.variables, dict)
-            else None
-        )
-        if cal is not None:
-            self._calibration = (float(cal["a"]), float(cal["b"]))
         self.anchors = jnp.asarray(anchor_centers(input_size))
 
         def _detect(variables, image_f32, iou_threshold):

@@ -197,3 +197,25 @@ def make_facenet_train_step(
         return new_state, {"loss": loss, "n_triplets": n_valid}
 
     return step
+
+
+def make_resident_step(step_fn: Callable) -> Callable:
+    """Jit a ``(state, images_u8, labels, rng)`` train step as HBM-resident.
+
+    The whole uint8 dataset lives on device; each step ships only a (B,)
+    int32 index vector and gathers the batch on device. This is the axon
+    host-buffer-leak mitigation (every host->device transfer leaks its
+    staging buffer in host RSS — CLAUDE.md): one transfer for the whole
+    run instead of one per step. Shared by train_synthid and train_facenet
+    so the mitigation lives in one place.
+    """
+
+    def step_resident(state, data, labels_all, idx, rng):
+        return step_fn(
+            state,
+            jnp.take(data, idx, axis=0),
+            jnp.take(labels_all, idx, axis=0),
+            rng,
+        )
+
+    return jax.jit(step_resident, donate_argnums=(0,))

@@ -39,6 +39,7 @@ from facerecognition_tpu.training.schedules import EarlyStopping, build_schedule
 from facerecognition_tpu.training.steps import (
     ArcFaceTrainState,
     make_facenet_train_step,
+    make_resident_step,
 )
 from facerecognition_tpu.training.train_arcface import (
     compute_verification_accuracy,
@@ -160,18 +161,7 @@ class FaceNetTrainer:
             return raw_step(state, images, labels, rng_step)
 
         self._train_step = jax.jit(step_with_aug, donate_argnums=(0,))
-
-        def step_resident(state, data, labels_all, idx, rng):
-            # Whole-dataset uint8 array lives in HBM; only a (B,) int32
-            # index vector crosses the host->device boundary per step.
-            return step_with_aug(
-                state,
-                jnp.take(data, idx, axis=0),
-                jnp.take(labels_all, idx, axis=0),
-                rng,
-            )
-
-        self._train_step_resident = jax.jit(step_resident, donate_argnums=(0,))
+        self._train_step_resident = make_resident_step(step_with_aug)
         self._resident_data = None
 
         def eval_fn(state, images_u8):

@@ -27,6 +27,7 @@ from facerecognition_tpu.models.arcface import ArcFaceModel
 from facerecognition_tpu.training.steps import (
     ArcFaceTrainState,
     make_arcface_train_step,
+    make_resident_step,
 )
 
 
@@ -141,15 +142,40 @@ def train_synthid(config: SynthIdConfig, log=print):
 
     t0 = time.time()
     k_total = config.train_per_id + config.val_per_id
+    # Everything the rendered data depends on. A cache is only reused when
+    # this matches exactly — a sample-count check alone would silently accept
+    # a wrong-seed or differently-split cache.
+    fingerprint = {
+        "n_ids": config.n_ids,
+        "k_total": k_total,
+        "train_per_id": config.train_per_id,
+        "seed": config.seed,
+        "out_size": 112,
+    }
     if config.cache and __import__("os").path.exists(config.cache):
         log(f"loading cached dataset {config.cache} ...")
         with np.load(config.cache) as z:
             imgs, labels = z["imgs"], z["labels"]
-        expect = config.n_ids * k_total
-        if len(imgs) != expect:
+            cached_fp = (
+                json.loads(str(z["fingerprint"])) if "fingerprint" in z else None
+            )
+        if cached_fp is None:
+            # Legacy cache (pre-fingerprint): only the sample count can be
+            # checked. Seed/split mismatches are NOT detectable here.
+            if len(imgs) != config.n_ids * k_total:
+                raise ValueError(
+                    f"cache {config.cache} has {len(imgs)} samples, expected "
+                    f"{config.n_ids * k_total} ({config.n_ids} ids x {k_total})"
+                )
+            log(
+                f"WARNING: {config.cache} has no fingerprint (legacy cache); "
+                f"cannot verify seed/split match {fingerprint}"
+            )
+        elif cached_fp != fingerprint:
             raise ValueError(
-                f"cache {config.cache} has {len(imgs)} samples, expected "
-                f"{expect} ({config.n_ids} ids x {k_total})"
+                f"cache {config.cache} was rendered with {cached_fp}, "
+                f"this run needs {fingerprint} — delete the cache or point "
+                "--cache elsewhere"
             )
     else:
         log(f"rendering {config.n_ids} ids x {k_total} samples ...")
@@ -157,7 +183,12 @@ def train_synthid(config: SynthIdConfig, log=print):
             config.n_ids, k_total, out_size=112, seed=config.seed
         )
         if config.cache:
-            np.savez(config.cache, imgs=imgs, labels=labels)
+            np.savez(
+                config.cache,
+                imgs=imgs,
+                labels=labels,
+                fingerprint=json.dumps(fingerprint),
+            )
             log(f"cached dataset -> {config.cache}")
     k = config.train_per_id + config.val_per_id
     mask = (np.arange(len(imgs)) % k) < config.train_per_id
@@ -229,16 +260,7 @@ def train_synthid(config: SynthIdConfig, log=print):
     if resident:
         data_dev = jnp.asarray(tr_imgs)  # uint8, one transfer
         labels_dev = jnp.asarray(tr_labels, jnp.int32)
-
-        def step_resident(state, data, labels_all, idx, rng):
-            return step_with_aug(
-                state,
-                jnp.take(data, idx, axis=0),
-                jnp.take(labels_all, idx, axis=0),
-                rng,
-            )
-
-        step_fn = jax.jit(step_resident, donate_argnums=(0,))
+        step_fn = make_resident_step(step_with_aug)
     else:
         step_fn = jax.jit(step_with_aug, donate_argnums=(0,))
     log(f"batch source: {'HBM-resident' if resident else 'host-streaming'} "
@@ -247,15 +269,22 @@ def train_synthid(config: SynthIdConfig, log=print):
     def crash_save(epoch, history):
         if not config.ckpt_path:
             return
+        import os
+
         from facerecognition_tpu.utils.serialization import save_variables
 
         tmp = config.ckpt_path + ".tmp"
         save_variables(
             tmp, {"params": state.params, "batch_stats": state.batch_stats}
         )
-        __import__("os").replace(tmp, config.ckpt_path)
-        with open(config.ckpt_path + ".meta.json", "w") as f:
+        os.replace(tmp, config.ckpt_path)
+        # Meta is replaced atomically AND after the ckpt: a kill between the
+        # two replaces leaves a stale meta (epoch-1) with an epoch-N ckpt,
+        # which resume handles by re-running one epoch — never a broken pair.
+        meta_tmp = config.ckpt_path + ".meta.json.tmp"
+        with open(meta_tmp, "w") as f:
             json.dump({"epoch": epoch, "history": history}, f)
+        os.replace(meta_tmp, config.ckpt_path + ".meta.json")
 
     history = []
     start_epoch = 0
@@ -269,10 +298,16 @@ def train_synthid(config: SynthIdConfig, log=print):
             state = state.replace(
                 params=tree["params"], batch_stats=tree["batch_stats"]
             )
-            with open(config.ckpt_path + ".meta.json") as f:
-                meta = json.load(f)
-            start_epoch = meta["epoch"] + 1
-            history = meta["history"]
+            try:
+                with open(config.ckpt_path + ".meta.json") as f:
+                    meta = json.load(f)
+                start_epoch = meta["epoch"] + 1
+                history = meta["history"]
+            except (FileNotFoundError, json.JSONDecodeError, KeyError) as e:
+                # Missing/torn meta (kill between the two crash_save
+                # replaces): keep the weights, restart the epoch counter.
+                log(f"resume: ckpt ok but meta unreadable ({e}); "
+                    "restarting epoch count with loaded weights")
             log(f"resumed from {config.ckpt_path} at epoch {start_epoch} "
                 "(optimizer state restarts)")
 

@@ -70,12 +70,20 @@ def main():
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3))
         )
-    det_net = BlazeFaceNet()
-    det_w = os.path.join(_ASSETS, "detector_v2_128.msgpack")
-    if os.path.exists(det_w):
-        det_vars = load_variables(det_w)
-        det_vars.pop("calibration", None)
+    # Same checkpoint chain + decoding as serving (FaceDetector), so the
+    # profile measures the detector the pipeline actually runs.
+    from facerecognition_tpu.models.detector_net import build_detector_net
+    from facerecognition_tpu.preprocessing.face_detector import (
+        default_detector_checkpoint,
+        load_detector_checkpoint,
+    )
+
+    det_w = default_detector_checkpoint()
+    if det_w is not None:
+        arch, det_vars, _ = load_detector_checkpoint(det_w)
+        det_net = build_detector_net(arch)
     else:
+        det_net = BlazeFaceNet()
         det_vars = det_net.init(
             jax.random.PRNGKey(1), jnp.zeros((1, DET, DET, 3))
         )

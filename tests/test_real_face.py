@@ -17,22 +17,12 @@ import pytest
 
 REAL_PHOTO = "/root/reference/uploads/anh1.jpg"
 GT_PATH = os.path.join(os.path.dirname(__file__), "fixtures", "anh1_gt.json")
-_ASSETS = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets"
+from facerecognition_tpu.preprocessing.face_detector import (
+    default_detector_checkpoint,
 )
-# Same preference order as FaceDetector's default: the shipped v3 dense
-# detector, else the v2 curriculum one.
-CKPT = next(
-    (
-        p
-        for p in (
-            os.path.join(_ASSETS, "detector_v3_128.msgpack"),
-            os.path.join(_ASSETS, "detector_v2_128.msgpack"),
-        )
-        if os.path.exists(p)
-    ),
-    os.path.join(_ASSETS, "detector_v2_128.msgpack"),
-)
+
+# Same preference chain as FaceDetector's default (single source of truth).
+CKPT = default_detector_checkpoint() or "missing"
 
 pytestmark = [
     pytest.mark.slow,
