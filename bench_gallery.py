@@ -45,7 +45,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from facerecognition_tpu.ops.matcher import cosine_topk
+    from facerecognition_tpu.ops.matcher import (
+        cosine_topk,
+        cosine_topk_int8,
+        quantize_embeddings_int8,
+    )
     from facerecognition_tpu.ops.pallas_topk import pallas_cosine_topk
     from facerecognition_tpu.utils.compile_cache import enable_compile_cache
 
@@ -71,7 +75,16 @@ def main():
         rng.normal(size=(args.iters, args.batch, args.dim)).astype(np.float32)
     )
 
-    # --- parity: pallas vs dense on a query subsample ----------------------
+    # int8 capacity path: quantize once (host-side would be exact too; this
+    # measures the serving layout — codes + scales resident in HBM).
+    gallery_q, gallery_scale = jax.jit(quantize_embeddings_int8)(gallery)
+    gallery_q.block_until_ready()
+
+    def int8_matcher(q, g, k):
+        del g  # closes over the quantized layout instead
+        return cosine_topk_int8(q, gallery_q, gallery_scale, k)
+
+    # --- parity: pallas + int8 vs dense on a query subsample ---------------
     q_small = queries_stack[0][:64]
     s_ref, i_ref = cosine_topk(q_small, gallery, args.k)
     s_pal, i_pal = pallas_cosine_topk(q_small, gallery, args.k)
@@ -84,9 +97,18 @@ def main():
         "max_score_err": score_err,
     }), flush=True)
     assert top1_agree == 1.0, "pallas/dense top-1 mismatch"
+    s_i8, i_i8 = int8_matcher(q_small, None, args.k)
+    i8_agree = float(np.mean(np.asarray(i_ref[:, 0]) == np.asarray(i_i8[:, 0])))
+    i8_err = float(np.max(np.abs(np.asarray(s_ref) - np.asarray(s_i8))))
+    print(json.dumps({
+        "metric": "int8_vs_dense_top1_agreement",
+        "value": i8_agree,
+        "unit": "fraction",
+        "max_score_err": i8_err,
+    }), flush=True)
 
     baseline = 1592.0  # reference batched GPU throughput (BASELINE.md)
-    paths = [("pallas_stream", pallas_cosine_topk)]
+    paths = [("pallas_stream", pallas_cosine_topk), ("int8_mxu", int8_matcher)]
     if not args.skip_dense:
         paths.append(("dense_xla", cosine_topk))
     for name, matcher in paths:

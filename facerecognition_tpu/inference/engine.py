@@ -47,6 +47,7 @@ class Gallery:
         self._index: dict[str, int] = {}
         self._store = np.zeros((0, dim), np.float32)  # capacity >= len(names)
         self._device_matrix: Optional[jax.Array] = None
+        self._device_quant: Optional[tuple[jax.Array, jax.Array]] = None
 
     def __len__(self) -> int:
         return len(self.names)
@@ -61,6 +62,31 @@ class Gallery:
         if self._device_matrix is None:
             self._device_matrix = jnp.asarray(self._matrix)
         return self._device_matrix
+
+    def quantized(self) -> tuple[jax.Array, jax.Array]:
+        """Device-resident int8 codes + per-row scales (cached).
+
+        The 4x-smaller capacity representation for ``match_kernel='int8'``
+        (ops.matcher.cosine_topk_int8): a 1M×512 gallery drops from 2 GB
+        f32 to 512 MB int8 + 4 MB scales in HBM. Unlike ``matrix``, the
+        f32 rows never touch the device — quantization runs host-side and
+        only the codes transfer, so the two caches never coexist in HBM
+        unless both paths are used.
+        """
+        if self._device_quant is None:
+            # Quantize on host and ship only the codes: the host->device
+            # transfer is 4x smaller than staging the f32 rows (and on the
+            # axon backend every transferred byte leaks host RSS —
+            # CLAUDE.md), and the f32 matrix never touches HBM.
+            mat = self._matrix
+            scale = np.max(np.abs(mat), axis=-1)
+            safe = np.maximum(scale, 1e-12)[:, None]
+            q = np.round(mat / safe * 127.0).astype(np.int8)
+            self._device_quant = (
+                jnp.asarray(q),
+                jnp.asarray(scale.astype(np.float32)),
+            )
+        return self._device_quant
 
     def _reserve(self, extra: int) -> None:
         need = len(self.names) + extra
@@ -88,7 +114,8 @@ class Gallery:
             self._index[name] = len(self.names)
             self._store[len(self.names)] = emb
             self.names.append(name)
-        self._device_matrix = None  # invalidate device copy
+        self._device_matrix = None  # invalidate device copies
+        self._device_quant = None
 
     def add_many(self, names: Sequence[str], embeddings: np.ndarray) -> None:
         """Bulk enrollment: one vectorized normalize + one block write.
@@ -120,6 +147,7 @@ class Gallery:
             srcs = np.fromiter(row_of_batch.values(), np.int64)
             self._store[rows] = embs[srcs]
         self._device_matrix = None
+        self._device_quant = None
 
     def remove(self, name: str) -> bool:
         idx = self._index.pop(name, None)
@@ -134,6 +162,7 @@ class Gallery:
             self._index[moved] = idx
         self.names.pop()
         self._device_matrix = None
+        self._device_quant = None
         return True
 
     @classmethod
@@ -223,6 +252,7 @@ class RecognitionEngine:
         threshold: float = 0.5,
         model_type: str = "arcface",
         checkpoint_path: Optional[str] = None,
+        match_kernel: str = "auto",
     ):
         if embedder is None:
             loader = {
@@ -236,6 +266,13 @@ class RecognitionEngine:
         )
         self.detector = detector
         self.threshold = threshold
+        if match_kernel not in ("auto", "dense", "pallas", "int8"):
+            raise ValueError(f"unknown match_kernel {match_kernel!r}")
+        # 'auto'/'dense'/'pallas' pick the f32 path (ops.matcher.
+        # auto_cosine_topk); 'int8' matches against the 4x-smaller quantized
+        # gallery (ops.matcher.cosine_topk_int8) — the very-large-N capacity
+        # mode (scores shift O(1e-3); see tests/test_matcher.py).
+        self.match_kernel = match_kernel
 
     # -- configuration ------------------------------------------------------
 
@@ -310,12 +347,21 @@ class RecognitionEngine:
         k_eff = min(k, len(self.gallery))
         # Gallery rows are unit-norm by construction (add/add_many);
         # normalize only the (small) query block and skip the (N, D) pass.
-        scores, idx = auto_cosine_topk(
-            l2_normalize(jnp.asarray(embeddings, jnp.float32)),
-            self.gallery.matrix,
-            k_eff,
-            normalized=True,
-        )
+        if self.match_kernel == "int8":
+            from facerecognition_tpu.ops.matcher import cosine_topk_int8
+
+            gq, gs = self.gallery.quantized()
+            scores, idx = cosine_topk_int8(
+                jnp.asarray(embeddings, jnp.float32), gq, gs, k_eff
+            )
+        else:
+            scores, idx = auto_cosine_topk(
+                l2_normalize(jnp.asarray(embeddings, jnp.float32)),
+                self.gallery.matrix,
+                k_eff,
+                normalized=True,
+                kernel=self.match_kernel,
+            )
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         out = []

@@ -52,6 +52,74 @@ def top_k_accuracy(
     return out
 
 
+def cmc_curve(
+    scores: np.ndarray, y_true: np.ndarray, max_rank: int = 20
+) -> dict:
+    """Cumulative Match Characteristic: P(correct id within top rank r).
+
+    The standard closed-set identification curve (rank-1 == top-1
+    accuracy). ``scores`` is the (N, C) query-vs-gallery score matrix with
+    one column per gallery identity; ``y_true`` the correct column per row.
+    Goes beyond the reference suite (top-1/top-5 only) — the curve shows
+    where the tail of near-misses sits as the gallery grows.
+    """
+    scores = np.asarray(scores)
+    y_true = np.asarray(y_true)
+    max_rank = min(max_rank, scores.shape[1])
+    order = np.argsort(-scores, axis=1)[:, :max_rank]
+    hit_at = order == y_true[:, None]  # (N, max_rank)
+    cmc = hit_at.cumsum(axis=1).clip(max=1).mean(axis=0)
+    return {
+        "ranks": list(range(1, max_rank + 1)),
+        "cmc": [float(v) for v in cmc],
+        "rank1": float(cmc[0]),
+        f"rank{max_rank}": float(cmc[-1]),
+    }
+
+
+def open_set_identification(
+    scores: np.ndarray,
+    y_true: np.ndarray,
+    known_mask: np.ndarray,
+    far_targets: Sequence[float] = (0.01, 0.001),
+) -> dict:
+    """Open-set identification: DIR@FAR (watchlist protocol).
+
+    For probes of enrolled identities (``known_mask``), the Detection &
+    Identification Rate is the fraction whose top-1 match is correct AND
+    scores above threshold; for unenrolled probes, the False Accept Rate is
+    the fraction wrongly accepted above threshold. Reports DIR at the
+    thresholds achieving each target FAR — the operating numbers a
+    deployment actually quotes (the reference's sweep reports F1/accuracy
+    at matched thresholds instead).
+    """
+    scores = np.asarray(scores)
+    y_true = np.asarray(y_true)
+    known_mask = np.asarray(known_mask, bool)
+    top1 = np.argmax(scores, axis=1)
+    top1_score = scores[np.arange(len(scores)), top1]
+    correct = (top1 == y_true) & known_mask
+
+    unknown_scores = np.sort(top1_score[~known_mask])
+    out = {}
+    for far in far_targets:
+        if len(unknown_scores) == 0:
+            out[f"dir_at_far_{far:g}"] = None
+            continue
+        # smallest threshold with FAR <= target: the (1-far) quantile of
+        # impostor top-1 scores
+        k = int(np.ceil((1.0 - far) * len(unknown_scores)))
+        thr = (
+            unknown_scores[min(k, len(unknown_scores) - 1)]
+            if k < len(unknown_scores)
+            else unknown_scores[-1] + 1e-6
+        )
+        dir_rate = float((correct & (top1_score >= thr)).sum() / max(known_mask.sum(), 1))
+        out[f"dir_at_far_{far:g}"] = dir_rate
+        out[f"threshold_at_far_{far:g}"] = float(thr)
+    return out
+
+
 def threshold_sweep(
     y_true: np.ndarray,
     y_pred: np.ndarray,
@@ -250,7 +318,14 @@ def evaluate_recognition_engine(
         "metrics": compute_metrics(labels, y_pred),
         **top_k_accuracy(by_label, labels),
         "threshold_sweep": threshold_sweep(labels, y_pred, top_scores),
+        "cmc": cmc_curve(by_label, labels),
     }
+    enrolled = set(gal_ids[gal_ids >= 0].tolist())
+    known_mask = np.asarray([int(l) in enrolled for l in labels])
+    if not known_mask.all() and known_mask.any():
+        result["open_set"] = open_set_identification(
+            by_label, labels, known_mask
+        )
 
     # verification pairs from the test embeddings
     rng = np.random.default_rng(0)
@@ -293,6 +368,23 @@ def generate_report(results: dict, path: str, title: str = "Evaluation report") 
     for k in ("top_1_accuracy", "top_5_accuracy"):
         if k in results:
             lines.append(f"- **{k}**: {results[k]:.4f}")
+    cmc = results.get("cmc")
+    if cmc:
+        shown = [1, 5, 10, 20]
+        pts = ", ".join(
+            f"rank-{r}: {cmc['cmc'][r - 1]:.4f}"
+            for r in shown
+            if r <= len(cmc["cmc"])
+        )
+        lines += ["", "## Identification (CMC)", "", f"- {pts}"]
+    osr = results.get("open_set")
+    if osr:
+        lines += ["", "## Open-set identification", ""]
+        lines += [
+            f"- DIR@FAR={k.split('_')[-1]}: {v:.4f}"
+            for k, v in osr.items()
+            if k.startswith("dir_at_far") and v is not None
+        ]
     v = results.get("verification")
     if v:
         lines += [

@@ -130,6 +130,24 @@ class TestGallery:
         )
         assert elapsed < 30, f"1M save+load took {elapsed:.1f}s"
 
+    def test_quantized_cache_and_invalidation(self, rng):
+        g = Gallery(dim=32)
+        g.add_many(
+            [f"id_{i}" for i in range(20)],
+            rng.normal(size=(20, 32)).astype(np.float32),
+        )
+        q1, s1 = g.quantized()
+        assert np.asarray(q1).dtype == np.int8
+        assert q1.shape == (20, 32) and s1.shape == (20,)
+        assert g.quantized()[0] is q1  # cached
+        deq = np.asarray(q1, np.float32) * (np.asarray(s1)[:, None] / 127.0)
+        np.testing.assert_allclose(deq, np.asarray(g.matrix), atol=0.01)
+        g.add("new", rng.normal(size=32))
+        q2, _ = g.quantized()  # mutation invalidates the cache
+        assert q2 is not q1 and q2.shape == (21, 32)
+        g.remove("new")
+        assert g.quantized()[0].shape == (20, 32)
+
     def test_remove(self, rng):
         g = Gallery(dim=4)
         g.add("a", rng.normal(size=4))
@@ -256,6 +274,24 @@ class TestEngine:
         eng = RecognitionEngine(embedder=embedder)
         eng.set_threshold(0.77)
         assert eng.threshold == 0.77
+
+    def test_int8_match_kernel(self, embedder, rng):
+        eng = RecognitionEngine(
+            embedder=embedder, threshold=0.3, match_kernel="int8"
+        )
+        imgs = {
+            name: rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+            for name in ("alice", "bob", "carol")
+        }
+        for name, img in imgs.items():
+            eng.add_to_db(name, [img])
+        for name, img in imgs.items():
+            res = eng.recognize(img)
+            assert res["status"] == "success"
+            assert res["identity"] == name
+            assert res["confidence"] > 0.9
+        with pytest.raises(ValueError, match="unknown match_kernel"):
+            RecognitionEngine(embedder=embedder, match_kernel="fp8")
 
 
 class TestBuildDb:

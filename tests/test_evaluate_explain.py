@@ -8,10 +8,12 @@ import jax
 import jax.numpy as jnp
 
 from facerecognition_tpu.inference.evaluate import (
+    cmc_curve,
     compute_metrics,
     evaluate_recognition_engine,
     generate_report,
     measure_latency_throughput,
+    open_set_identification,
     roc_eer,
     threshold_sweep,
     top_k_accuracy,
@@ -40,6 +42,45 @@ class TestMetrics:
         out = threshold_sweep(y_true, y_pred, scores)
         assert out["best_accuracy"]["accuracy"] >= out["sweep"][-1]["accuracy"]
         assert 0 <= out["best_f1"]["f1"] <= 1
+
+    def test_cmc_curve(self):
+        scores = np.array(
+            [
+                [0.9, 0.5, 0.1],  # true 0 -> rank 1
+                [0.3, 0.2, 0.9],  # true 0 -> rank 2
+                [0.6, 0.1, 0.5],  # true 1 -> rank 3
+            ]
+        )
+        y = np.array([0, 0, 1])
+        out = cmc_curve(scores, y, max_rank=3)
+        assert out["ranks"] == [1, 2, 3]
+        assert out["cmc"] == pytest.approx([1 / 3, 2 / 3, 1.0])
+        assert out["rank1"] == pytest.approx(1 / 3)
+        # cmc is monotone non-decreasing and rank1 == top-1 accuracy
+        assert all(a <= b for a, b in zip(out["cmc"], out["cmc"][1:]))
+        t1 = top_k_accuracy(scores, y, ks=(1,))["top_1_accuracy"]
+        assert out["rank1"] == pytest.approx(t1)
+
+    def test_open_set_identification(self, rng):
+        """Separable genuine vs impostor scores: DIR@FAR is high; raising
+        the FAR target can only raise (or keep) DIR."""
+        n_known, n_unknown, c = 200, 200, 10
+        y = rng.integers(0, c, n_known + n_unknown)
+        scores = rng.uniform(0.0, 0.3, (n_known + n_unknown, c))
+        known = np.zeros(n_known + n_unknown, bool)
+        known[:n_known] = True
+        # genuine probes score high on the true column
+        scores[np.arange(n_known), y[:n_known]] = rng.uniform(0.7, 1.0, n_known)
+        out = open_set_identification(
+            scores, y, known, far_targets=(0.1, 0.01)
+        )
+        assert out["dir_at_far_0.1"] >= out["dir_at_far_0.01"] > 0.9
+        assert out["threshold_at_far_0.01"] >= out["threshold_at_far_0.1"]
+        # no unknowns -> None (no FAR can be measured)
+        out2 = open_set_identification(
+            scores[:n_known], y[:n_known], known[:n_known]
+        )
+        assert out2["dir_at_far_0.01"] is None
 
     def test_roc_eer_separable(self, rng):
         pos = rng.normal(0.8, 0.05, 300)

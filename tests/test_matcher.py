@@ -8,8 +8,10 @@ from facerecognition_tpu.ops.matcher import (
     compute_prototypes,
     cosine_similarity,
     cosine_topk,
+    cosine_topk_int8,
     l2_normalize,
     pairwise_sq_dists,
+    quantize_embeddings_int8,
 )
 
 
@@ -57,6 +59,42 @@ def test_pairwise_sq_dists(rng):
     d = np.asarray(pairwise_sq_dists(jnp.asarray(a), jnp.asarray(b)))
     ref = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
     np.testing.assert_allclose(d, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_int8_roundtrip(rng):
+    x = rng.normal(size=(32, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q, s = quantize_embeddings_int8(jnp.asarray(x))
+    assert np.asarray(q).dtype == np.int8
+    deq = np.asarray(q, np.float32) * (np.asarray(s)[:, None] / 127.0)
+    # max-abs symmetric quantization: error <= half a step per component
+    step = np.asarray(s)[:, None] / 127.0
+    assert np.all(np.abs(deq - x) <= 0.5 * step + 1e-7)
+    # zero rows stay zero with scale 0
+    qz, sz = quantize_embeddings_int8(jnp.zeros((2, 8)))
+    assert float(np.abs(np.asarray(qz)).sum()) == 0.0
+    np.testing.assert_array_equal(np.asarray(sz), 0.0)
+
+
+def test_cosine_topk_int8_agrees_with_dense(rng):
+    """Clustered unit-norm embeddings (the real workload): int8 scores are
+    within ~1e-2 of dense f32 and the top-1 pick agrees everywhere the
+    margin is non-degenerate."""
+    centers = rng.normal(size=(40, 128)).astype(np.float32)
+    g = centers + 0.05 * rng.normal(size=centers.shape).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = centers[:16] + 0.05 * rng.normal(size=(16, 128)).astype(np.float32)
+
+    s_ref, i_ref = cosine_topk(jnp.asarray(q), jnp.asarray(g), k=5)
+    gq, gs = quantize_embeddings_int8(jnp.asarray(g))
+    s_q, i_q = cosine_topk_int8(jnp.asarray(q), gq, gs, k=5)
+
+    np.testing.assert_array_equal(
+        np.asarray(i_q[:, 0]), np.asarray(i_ref[:, 0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_q), np.asarray(s_ref), atol=2e-2
+    )
 
 
 def test_auto_cosine_topk_kernel_selection(rng, monkeypatch):
