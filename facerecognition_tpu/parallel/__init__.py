@@ -16,6 +16,7 @@ from facerecognition_tpu.parallel.sharding import (
     replicate,
     shard_batch,
     sharded_topk,
+    sharded_topk_int8,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "replicate",
     "shard_batch",
     "sharded_topk",
+    "sharded_topk_int8",
 ]

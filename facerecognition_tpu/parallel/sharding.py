@@ -33,11 +33,35 @@ def shard_batch(array: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
     return jax.device_put(array, NamedSharding(mesh, spec))
 
 
-def _local_then_global_topk(q, g_shard, k, axis_name, n_real):
+def _local_scores_f32(q, g_shard):
+    return jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
+
+
+def _local_scores_int8(q_pack, g_pack):
+    """Local (B, n_local) scores from int8 codes + per-row scales.
+
+    The score matmul runs at int8 input width on the MXU, accumulating in
+    int32 (see ops.matcher.cosine_topk_int8); the rank-1 dequantization
+    rescale fuses into the epilogue.
+    """
+    qq, q_scale = q_pack
+    gq, g_scale = g_pack
+    acc = jax.lax.dot_general(
+        qq, gq, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (
+        acc.astype(jnp.float32)
+        * (q_scale[:, None] / 127.0)
+        * (g_scale[None, :] / 127.0)
+    )
+
+
+def _local_then_global_topk(q, g_shard, k, axis_name, n_real, scores_fn):
     """shard_map body: local matmul+topk, gather candidates, global topk."""
-    n_local = g_shard.shape[0]
+    g_rows = g_shard[0] if isinstance(g_shard, tuple) else g_shard
+    n_local = g_rows.shape[0]
     my_idx = jax.lax.axis_index(axis_name)
-    scores = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
+    scores = scores_fn(q, g_shard)
     # Padding sentinel rows (global id >= n_real) must lose to EVERY real
     # row — their zero vectors score cosine 0, which would evict real
     # negative-similarity matches from the top-k irrecoverably.
@@ -89,7 +113,11 @@ def sharded_topk(
     fn = jax.jit(
         jax.shard_map(
             partial(
-                _local_then_global_topk, k=k, axis_name=axis, n_real=n_real
+                _local_then_global_topk,
+                k=k,
+                axis_name=axis,
+                n_real=n_real,
+                scores_fn=_local_scores_f32,
             ),
             mesh=mesh,
             in_specs=(P(), P(axis, None)),
@@ -102,6 +130,52 @@ def sharded_topk(
     return fn(q, gallery_sharded)
 
 
+def sharded_topk_int8(
+    queries: jax.Array,
+    gallery_q_sharded: jax.Array,
+    gallery_scale_sharded: jax.Array,
+    mesh: Mesh,
+    k: int = 5,
+    axis: str = "gallery",
+    n_real: Optional[int] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """`sharded_topk` over an int8-quantized row-sharded gallery.
+
+    The capacity configuration: int8 codes hold 4x the identities per chip
+    HBM, and sharding multiplies by the mesh axis — a v5e-8 ``gallery`` axis
+    holds ~200M 512-d identities in code form (8 x 16 GB / 513 B per row).
+    Queries are quantized per-row on the fly (replicated); scores carry the
+    same O(1e-3) quantization shift as ops.matcher.cosine_topk_int8.
+    """
+    from facerecognition_tpu.ops.matcher import quantize_embeddings_int8
+
+    q = l2_normalize(queries.astype(jnp.float32))
+    qq, q_scale = quantize_embeddings_int8(q)
+    if n_real is None:
+        n_real = gallery_q_sharded.shape[0]
+
+    def body(qq, q_scale, gq, g_scale):
+        return _local_then_global_topk(
+            (qq, q_scale),
+            (gq, g_scale),
+            k=k,
+            axis_name=axis,
+            n_real=n_real,
+            scores_fn=lambda qp, gp: _local_scores_int8(qp, gp),
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis, None), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    return fn(qq, q_scale, gallery_q_sharded, gallery_scale_sharded)
+
+
 class ShardedGallery:
     """Gallery sharded over a mesh axis for ≥1M-identity search.
 
@@ -109,12 +183,21 @@ class ShardedGallery:
     padded to a multiple of the axis size with -inf-scoring sentinels.
     """
 
-    def __init__(self, mesh: Mesh, axis: str = "gallery", dim: int = 512):
+    def __init__(
+        self,
+        mesh: Mesh,
+        axis: str = "gallery",
+        dim: int = 512,
+        quantize: bool = False,
+    ):
         self.mesh = mesh
         self.axis = axis
         self.dim = dim
+        self.quantize = quantize  # int8 codes: 4x rows per chip HBM
         self.names: list[str] = []
         self._matrix: Optional[jax.Array] = None  # (N_padded, D) sharded
+        self._codes: Optional[jax.Array] = None  # int8 (N_padded, D) sharded
+        self._scales: Optional[jax.Array] = None  # f32 (N_padded,) sharded
         self._n_real = 0
 
     def __len__(self) -> int:
@@ -138,21 +221,49 @@ class ShardedGallery:
             norm = np.concatenate([norm, np.zeros((pad, self.dim), np.float32)])
         self.names = list(names)
         self._n_real = n
-        self._matrix = jax.device_put(
-            jnp.asarray(norm), NamedSharding(self.mesh, P(self.axis, None))
-        )
+        if self.quantize:
+            # Quantize host-side and ship only codes + scales (4x smaller
+            # transfer AND footprint; the f32 rows never touch HBM).
+            scale = np.max(np.abs(norm), axis=-1)
+            safe = np.maximum(scale, 1e-12)[:, None]
+            codes = np.round(norm / safe * 127.0).astype(np.int8)
+            self._codes = jax.device_put(
+                jnp.asarray(codes),
+                NamedSharding(self.mesh, P(self.axis, None)),
+            )
+            self._scales = jax.device_put(
+                jnp.asarray(scale.astype(np.float32)),
+                NamedSharding(self.mesh, P(self.axis)),
+            )
+            self._matrix = None
+        else:
+            self._matrix = jax.device_put(
+                jnp.asarray(norm), NamedSharding(self.mesh, P(self.axis, None))
+            )
+            self._codes = self._scales = None
 
     def topk(self, queries: np.ndarray, k: int = 5):
         """Global top-k over the sharded gallery; filters padding host-side."""
-        if self._matrix is None or self._n_real == 0:
+        if self._n_real == 0 or (self._matrix is None and self._codes is None):
             return np.zeros((len(queries), 0)), np.zeros((len(queries), 0), int)
         k_eff = min(k, self._n_real)
-        s, i = sharded_topk(
-            jnp.asarray(queries),
-            self._matrix,
-            self.mesh,
-            k_eff,
-            self.axis,
-            n_real=self._n_real,
-        )
+        if self.quantize:
+            s, i = sharded_topk_int8(
+                jnp.asarray(queries),
+                self._codes,
+                self._scales,
+                self.mesh,
+                k_eff,
+                self.axis,
+                n_real=self._n_real,
+            )
+        else:
+            s, i = sharded_topk(
+                jnp.asarray(queries),
+                self._matrix,
+                self.mesh,
+                k_eff,
+                self.axis,
+                n_real=self._n_real,
+            )
         return np.asarray(s), np.asarray(i)

@@ -363,6 +363,36 @@ class TestShardedGallery:
         np.testing.assert_array_equal(idx[0], ref)
 
 
+    def test_int8_sharded_matches_dense_topk(self, rng):
+        """Quantized sharded gallery: top-1 agrees with the dense f32
+        reference on clustered data; scores within the int8 error bound;
+        padding stays masked."""
+        mesh = create_mesh(gallery=-1)
+        d = 64
+        centers = rng.normal(size=(8 * 20, d)).astype(np.float32)
+        mat = centers + 0.05 * rng.normal(size=centers.shape).astype(
+            np.float32
+        )
+        n = len(mat) - 3  # not divisible by 8 → padded
+        mat = mat[:n]
+        sg = ShardedGallery(mesh, dim=d, quantize=True)
+        sg.set_all([f"i{k}" for k in range(n)], mat)
+        assert sg._matrix is None and sg._codes is not None
+        q = mat[[3, 50, 111]] + 0.02 * rng.normal(size=(3, d)).astype(
+            np.float32
+        )
+        scores, idx = sg.topk(q, k=5)
+        assert (idx < n).all()
+
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        full = qn @ norm.T
+        ref_idx = np.argsort(-full, axis=1)[:, :5]
+        np.testing.assert_array_equal(idx[:, 0], ref_idx[:, 0])
+        ref_scores = np.take_along_axis(full, idx, axis=1)
+        np.testing.assert_allclose(scores, ref_scores, atol=2e-2)
+
+
 class TestEmbedderBuckets:
     def test_batch_larger_than_biggest_bucket(self, embedder, rng):
         """n > 512 pads to the next multiple of 512 and round-trips."""
