@@ -74,18 +74,12 @@ class Gallery:
         unless both paths are used.
         """
         if self._device_quant is None:
-            # Quantize on host and ship only the codes: the host->device
-            # transfer is 4x smaller than staging the f32 rows (and on the
-            # axon backend every transferred byte leaks host RSS —
-            # CLAUDE.md), and the f32 matrix never touches HBM.
-            mat = self._matrix
-            scale = np.max(np.abs(mat), axis=-1)
-            safe = np.maximum(scale, 1e-12)[:, None]
-            q = np.round(mat / safe * 127.0).astype(np.int8)
-            self._device_quant = (
-                jnp.asarray(q),
-                jnp.asarray(scale.astype(np.float32)),
+            from facerecognition_tpu.ops.matcher import (
+                quantize_embeddings_int8_np,
             )
+
+            q, scale = quantize_embeddings_int8_np(self._matrix)
+            self._device_quant = (jnp.asarray(q), jnp.asarray(scale))
         return self._device_quant
 
     def _reserve(self, extra: int) -> None:

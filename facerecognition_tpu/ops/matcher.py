@@ -158,6 +158,23 @@ def quantize_embeddings_int8(x) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def quantize_embeddings_int8_np(
+    x: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side (numpy) twin of :func:`quantize_embeddings_int8`.
+
+    Galleries quantize on host and ship only the codes — a 4x smaller
+    host->device transfer, and on the axon backend every transferred byte
+    leaks host RSS (CLAUDE.md). The single source of the quantization
+    convention for both the single-chip Gallery and ShardedGallery.
+    """
+    x = np.asarray(x, np.float32)
+    scale = np.max(np.abs(x), axis=-1)
+    safe = np.maximum(scale, 1e-12)[:, None]
+    q = np.round(x / safe * 127.0).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
 @partial(jax.jit, static_argnums=(3,))
 def cosine_topk_int8(
     queries: jax.Array,

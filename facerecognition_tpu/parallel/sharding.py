@@ -9,7 +9,7 @@ ride ICI via ``shard_map``; no host round-trips.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -17,7 +17,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from facerecognition_tpu.ops.matcher import l2_normalize
+from facerecognition_tpu.ops.matcher import (
+    l2_normalize,
+    quantize_embeddings_int8,
+    quantize_embeddings_int8_np,
+)
 
 
 def replicate(tree, mesh: Mesh):
@@ -110,24 +114,52 @@ def sharded_topk(
     q = l2_normalize(queries.astype(jnp.float32))
     if n_real is None:
         n_real = gallery_sharded.shape[0]
-    fn = jax.jit(
+    return _compiled_sharded_topk(mesh, axis, k, n_real, False)(
+        q, gallery_sharded
+    )
+
+
+def _int8_body(qq, q_scale, gq, g_scale, *, k, axis_name, n_real):
+    return _local_then_global_topk(
+        (qq, q_scale),
+        (gq, g_scale),
+        k=k,
+        axis_name=axis_name,
+        n_real=n_real,
+        scores_fn=_local_scores_int8,
+    )
+
+
+@lru_cache(maxsize=128)
+def _compiled_sharded_topk(mesh: Mesh, axis: str, k: int, n_real: int, int8: bool):
+    """jit(shard_map(...)) cached on (mesh, axis, k, n_real, dtype path).
+
+    Rebuilding the closure per call would defeat JAX's executable cache
+    (it is keyed on the function object), making every ``topk`` retrace.
+    """
+    if int8:
+        body = partial(_int8_body, k=k, axis_name=axis, n_real=n_real)
+        in_specs = (P(), P(), P(axis, None), P(axis))
+    else:
+        body = partial(
+            _local_then_global_topk,
+            k=k,
+            axis_name=axis,
+            n_real=n_real,
+            scores_fn=_local_scores_f32,
+        )
+        in_specs = (P(), P(axis, None))
+    return jax.jit(
         jax.shard_map(
-            partial(
-                _local_then_global_topk,
-                k=k,
-                axis_name=axis,
-                n_real=n_real,
-                scores_fn=_local_scores_f32,
-            ),
+            body,
             mesh=mesh,
-            in_specs=(P(), P(axis, None)),
+            in_specs=in_specs,
             out_specs=(P(), P()),
             # Outputs are replicated by construction (all_gather + identical
             # top_k on every shard); the static VMA check can't prove it.
             check_vma=False,
         )
     )
-    return fn(q, gallery_sharded)
 
 
 def sharded_topk_int8(
@@ -143,37 +175,17 @@ def sharded_topk_int8(
 
     The capacity configuration: int8 codes hold 4x the identities per chip
     HBM, and sharding multiplies by the mesh axis — a v5e-8 ``gallery`` axis
-    holds ~200M 512-d identities in code form (8 x 16 GB / 513 B per row).
+    holds ~200M 512-d identities in code form (8 x 16 GB / 516 B per row).
     Queries are quantized per-row on the fly (replicated); scores carry the
     same O(1e-3) quantization shift as ops.matcher.cosine_topk_int8.
     """
-    from facerecognition_tpu.ops.matcher import quantize_embeddings_int8
-
     q = l2_normalize(queries.astype(jnp.float32))
     qq, q_scale = quantize_embeddings_int8(q)
     if n_real is None:
         n_real = gallery_q_sharded.shape[0]
-
-    def body(qq, q_scale, gq, g_scale):
-        return _local_then_global_topk(
-            (qq, q_scale),
-            (gq, g_scale),
-            k=k,
-            axis_name=axis,
-            n_real=n_real,
-            scores_fn=lambda qp, gp: _local_scores_int8(qp, gp),
-        )
-
-    fn = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P(), P(), P(axis, None), P(axis)),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
+    return _compiled_sharded_topk(mesh, axis, k, n_real, True)(
+        qq, q_scale, gallery_q_sharded, gallery_scale_sharded
     )
-    return fn(qq, q_scale, gallery_q_sharded, gallery_scale_sharded)
 
 
 class ShardedGallery:
@@ -224,15 +236,13 @@ class ShardedGallery:
         if self.quantize:
             # Quantize host-side and ship only codes + scales (4x smaller
             # transfer AND footprint; the f32 rows never touch HBM).
-            scale = np.max(np.abs(norm), axis=-1)
-            safe = np.maximum(scale, 1e-12)[:, None]
-            codes = np.round(norm / safe * 127.0).astype(np.int8)
+            codes, scale = quantize_embeddings_int8_np(norm)
             self._codes = jax.device_put(
                 jnp.asarray(codes),
                 NamedSharding(self.mesh, P(self.axis, None)),
             )
             self._scales = jax.device_put(
-                jnp.asarray(scale.astype(np.float32)),
+                jnp.asarray(scale),
                 NamedSharding(self.mesh, P(self.axis)),
             )
             self._matrix = None
