@@ -692,3 +692,61 @@ class TestSynthIdTraining:
         )
         assert out.shape == (2, 512)
         assert np.isfinite(out).all()
+
+    def test_cache_fingerprint_rejects_mismatch(self, tmp_path):
+        """A dataset cache rendered under one (ids, split, seed) config must
+        not be silently reused by a different one."""
+        from facerecognition_tpu.training.train_synthid import (
+            SynthIdConfig,
+            train_synthid,
+        )
+
+        cache = str(tmp_path / "ds.npz")
+        base = dict(
+            n_ids=8, train_per_id=4, val_per_id=2, batch_size=16, epochs=1,
+            lr=0.02, cache=cache,
+        )
+        train_synthid(SynthIdConfig(**base), log=lambda *a: None)
+        assert os.path.exists(cache)
+        # same config reuses the cache fine
+        train_synthid(SynthIdConfig(**base), log=lambda *a: None)
+        # different seed, same sample count -> rejected (count check alone
+        # would pass)
+        with pytest.raises(ValueError, match="rendered with"):
+            train_synthid(
+                SynthIdConfig(**{**base, "seed": 1}), log=lambda *a: None
+            )
+        # legacy cache (no fingerprint): count check + loud warning
+        import numpy as _np
+
+        with _np.load(cache) as z:
+            imgs, labels = z["imgs"], z["labels"]
+        _np.savez(cache, imgs=imgs, labels=labels)
+        logs = []
+        train_synthid(SynthIdConfig(**base), log=lambda *a: logs.append(a))
+        assert any("no fingerprint" in str(line) for line in logs)
+
+    def test_resume_survives_torn_meta(self, tmp_path):
+        """Kill between the two crash_save replaces leaves ckpt+stale/absent
+        meta; resume must keep the weights and restart the epoch count."""
+        from facerecognition_tpu.training.train_synthid import (
+            SynthIdConfig,
+            train_synthid,
+        )
+
+        ckpt = str(tmp_path / "crash.msgpack")
+        cache = str(tmp_path / "ds.npz")
+        base = dict(
+            n_ids=8, train_per_id=4, val_per_id=2, batch_size=16, epochs=1,
+            lr=0.02, ckpt_path=ckpt, cache=cache,
+        )
+        train_synthid(SynthIdConfig(**base), log=lambda *a: None)
+        assert os.path.exists(ckpt) and os.path.exists(ckpt + ".meta.json")
+        os.remove(ckpt + ".meta.json")  # simulate the torn pair
+        logs = []
+        _, history, _ = train_synthid(
+            SynthIdConfig(**{**base, "resume": True}),
+            log=lambda *a: logs.append(" ".join(map(str, a))),
+        )
+        assert any("meta unreadable" in line for line in logs)
+        assert len(history) == 1  # epoch count restarted, run completed
