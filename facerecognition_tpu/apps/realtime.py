@@ -63,6 +63,124 @@ class CameraFrameSource:
         self.cap.release()
 
 
+class VideoFileSource:
+    """Frame source over a video file.
+
+    The reference only consumes the live camera (web_app.py:913,
+    ``cv2.VideoCapture(0)``); file playback + offline batch recognition is
+    framework-plus capability (see :func:`process_video`).
+    """
+
+    def __init__(self, path: str):
+        import cv2
+
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise FileNotFoundError(f"cannot open video: {path}")
+        self.fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 30.0
+        self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+    def read(self) -> Optional[np.ndarray]:
+        ok, frame = self.cap.read()
+        if not ok:
+            return None
+        return frame[:, :, ::-1].copy()  # BGR→RGB (no mirror for files)
+
+    def release(self) -> None:
+        self.cap.release()
+
+
+def process_video(
+    engine,
+    source,
+    batch_size: int = 32,
+    every_n: int = 1,
+    k: int = 5,
+    max_faces: int = 1,
+    max_frames: Optional[int] = None,
+    on_batch: Optional[Callable[[int, list], None]] = None,
+) -> dict:
+    """Batched offline recognition over a video.
+
+    Frames are accumulated into fixed-size batches and pushed through the
+    single-dispatch fused pipeline (`RecognitionEngine.fused_recognize_
+    frames`) when the engine has a detector + gallery, else through
+    ``recognize_batch``. The tail batch is zero-padded to ``batch_size`` so
+    every dispatch reuses ONE compiled graph (recompile discipline,
+    CLAUDE.md batch buckets) and the padding results are dropped.
+
+    Args:
+      engine: a RecognitionEngine.
+      source: a frame source (``read()``/``release()``) or a video path.
+      every_n: process every n-th frame (cadence control — the reference
+        recognizes every 0.5 s on its camera thread, web_app.py:1030).
+      on_batch: optional callback ``(frames_done, batch_results)`` for
+        progress streaming.
+
+    Returns:
+      ``{"results": [per-frame dicts], "frames": N, "elapsed_s": t,
+      "fps": N/t}`` — results align with processed (strided) frames.
+    """
+    if isinstance(source, (str, bytes)):
+        source = VideoFileSource(source)
+    use_fused = engine.detector is not None and len(engine.gallery) > 0
+
+    def flush(batch: list) -> list:
+        n = len(batch)
+        if n == 0:
+            return []
+        if use_fused:
+            frames = np.stack(batch)
+            if n < batch_size:  # zero-pad: one graph per (H, W, B) key
+                frames = np.concatenate(
+                    [
+                        frames,
+                        np.zeros(
+                            (batch_size - n, *frames.shape[1:]),
+                            frames.dtype,
+                        ),
+                    ]
+                )
+            res = engine.fused_recognize_frames(frames, k=k, max_faces=max_faces)
+        else:
+            res = engine.recognize_batch(list(batch), k=k)
+        return res[:n]
+
+    results: list = []
+    t0 = time.perf_counter()
+    batch: list = []
+    i = 0
+    try:
+        while True:
+            frame = source.read()
+            if frame is None:
+                break
+            if i % every_n == 0:
+                batch.append(np.asarray(frame))
+                if len(batch) == batch_size:
+                    out = flush(batch)
+                    results.extend(out)
+                    if on_batch is not None:
+                        on_batch(len(results), out)
+                    batch = []
+            i += 1
+            if max_frames is not None and len(results) + len(batch) >= max_frames:
+                break
+        out = flush(batch)
+        results.extend(out)
+        if out and on_batch is not None:
+            on_batch(len(results), out)
+    finally:
+        source.release()
+    elapsed = time.perf_counter() - t0
+    return {
+        "results": results,
+        "frames": len(results),
+        "elapsed_s": elapsed,
+        "fps": len(results) / elapsed if elapsed > 0 else 0.0,
+    }
+
+
 class RealtimeRecognizer:
     """Continuous recognition worker over a frame source.
 

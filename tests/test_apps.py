@@ -389,6 +389,77 @@ class TestRealtime:
         assert rt.result["identity"] in ("Unknown", "No face")
 
 
+class TestVideoFile:
+    @pytest.fixture()
+    def tiny_video(self, tmp_path, rng):
+        import cv2
+
+        path = str(tmp_path / "clip.avi")
+        w = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (64, 64)
+        )
+        assert w.isOpened()
+        # Solid-color frames: MJPG's chroma subsampling wrecks per-pixel
+        # noise but preserves flat colors, so channel order stays testable.
+        colors = rng.integers(30, 226, (10, 3), dtype=np.uint8)
+        frames = np.broadcast_to(
+            colors[:, None, None, :], (10, 64, 64, 3)
+        ).copy()
+        for f in frames:
+            w.write(np.ascontiguousarray(f[:, :, ::-1]))  # writer takes BGR
+        w.release()
+        return path, frames
+
+    def test_video_file_source_reads_rgb(self, tiny_video):
+        from facerecognition_tpu.apps.realtime import VideoFileSource
+
+        path, frames = tiny_video
+        src = VideoFileSource(path)
+        assert src.frame_count == 10
+        first = src.read()
+        src.release()
+        assert first.shape == (64, 64, 3)
+        # MJPG is lossy; flat colors survive, so RGB order must match
+        assert np.mean(np.abs(first.astype(int) - frames[0].astype(int))) < 12
+        with pytest.raises(FileNotFoundError):
+            VideoFileSource("/nonexistent/clip.avi")
+
+    def test_process_video_strided_batches(self, tiny_video, rng):
+        from tests.test_engine import SmallEmbedder
+        from facerecognition_tpu.apps.realtime import process_video
+        from facerecognition_tpu.inference.engine import RecognitionEngine
+
+        path, _ = tiny_video
+        engine = RecognitionEngine(embedder=SmallEmbedder(), threshold=0.3)
+        engine.add_to_db(
+            "p0", [rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)]
+        )
+        seen = []
+        out = process_video(
+            engine,
+            path,
+            batch_size=4,
+            every_n=2,
+            on_batch=lambda done, res: seen.append((done, len(res))),
+        )
+        assert out["frames"] == 5  # 10 frames, stride 2
+        assert len(out["results"]) == 5
+        assert all(r["status"] == "success" for r in out["results"])
+        assert out["fps"] > 0
+        # progress callback saw the full batch then the padded tail
+        assert seen == [(4, 4), (5, 1)]
+
+    def test_process_video_max_frames(self, tiny_video):
+        from tests.test_engine import SmallEmbedder
+        from facerecognition_tpu.apps.realtime import process_video
+        from facerecognition_tpu.inference.engine import RecognitionEngine
+
+        path, _ = tiny_video
+        engine = RecognitionEngine(embedder=SmallEmbedder())
+        out = process_video(engine, path, batch_size=8, max_frames=3)
+        assert out["frames"] == 3
+
+
 class TestEngineRegistryDegradation:
     def test_missing_checkpoint_degrades_not_random(self):
         """No configured checkpoint → engine is None ('Model not loaded'),
