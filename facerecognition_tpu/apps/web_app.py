@@ -648,6 +648,83 @@ def create_app(
                 )
             return respond_json(start_response, payload)
 
+        if path == "/video" and method == "POST":
+            # Offline video recognition (framework-plus: the reference only
+            # consumes the live camera). Multipart field 'video' + optional
+            # 'model', 'every_n', 'max_frames'.
+            import tempfile
+
+            from facerecognition_tpu.apps.realtime import process_video
+
+            fields = _parse_multipart(environ)
+            files = [
+                f for f in fields.get("video", []) if isinstance(f, dict)
+            ]
+            if not files:
+                return respond_json(
+                    start_response,
+                    {"error": "no video file uploaded"},
+                    status="400 Bad Request",
+                )
+            model = (fields.get("model") or ["arcface"])[0]
+            engine = registry.get(model)
+            if engine is None:
+                return respond_json(
+                    start_response,
+                    {"error": f"model {model!r} not loaded"},
+                    status="503 Service Unavailable",
+                )
+            every_n = int((fields.get("every_n") or ["1"])[0])
+            max_frames = min(
+                int((fields.get("max_frames") or ["300"])[0]), 2000
+            )
+            suffix = os.path.splitext(files[0]["filename"])[1] or ".mp4"
+            tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+            try:
+                tmp.write(files[0]["data"])
+                tmp.close()
+                try:
+                    out = process_video(
+                        engine,
+                        tmp.name,
+                        every_n=max(every_n, 1),
+                        max_frames=max_frames,
+                    )
+                except FileNotFoundError:
+                    return respond_json(
+                        start_response,
+                        {"error": "unreadable video file"},
+                        status="400 Bad Request",
+                    )
+            finally:
+                try:
+                    os.unlink(tmp.name)
+                except OSError:
+                    pass
+            counts: dict[str, int] = {}
+            timeline = []
+            for r in out["results"]:
+                ident = r.get("identity", "?")
+                counts[ident] = counts.get(ident, 0) + 1
+                timeline.append(
+                    {
+                        "identity": ident,
+                        "confidence": round(float(r.get("confidence", 0)), 4),
+                    }
+                )
+            return respond_json(
+                start_response,
+                {
+                    "model": model,
+                    "frames": out["frames"],
+                    "fps": round(out["fps"], 1),
+                    "identity_counts": dict(
+                        sorted(counts.items(), key=lambda kv: -kv[1])
+                    ),
+                    "timeline": timeline,
+                },
+            )
+
         # -- realtime -----------------------------------------------------
         if path == "/realtime":
             return respond_page(

@@ -363,6 +363,40 @@ class TestWebApp:
         status, _ = Client(app).get_json("/nope")
         assert status.startswith("404")
 
+    def test_video_route(self, app_and_registry, tmp_path, rng):
+        import cv2
+
+        app, registry, engine, _ = app_and_registry
+        engine.add_to_db(
+            "vid_p", [rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)]
+        )
+        path = str(tmp_path / "c.avi")
+        w = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (64, 64)
+        )
+        for _ in range(6):
+            w.write(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+        w.release()
+        with open(path, "rb") as f:
+            data = f.read()
+        c = Client(app)
+        status, out = c.post_multipart(
+            "/video",
+            [("video", ("c.avi", data)), ("every_n", "2"),
+             ("model", "arcface")],
+        )
+        assert status.startswith("200")
+        assert out["frames"] == 3  # 6 frames, stride 2
+        assert len(out["timeline"]) == 3
+        assert sum(out["identity_counts"].values()) == 3
+        # error paths: no file; garbage bytes
+        status, out = c.post_multipart("/video", [("model", "arcface")])
+        assert status.startswith("400")
+        status, out = c.post_multipart(
+            "/video", [("video", ("x.mp4", b"not a video"))]
+        )
+        assert status.startswith("400")
+
 
 @pytest.mark.slow
 class TestRealtime:
