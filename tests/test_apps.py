@@ -676,6 +676,8 @@ class TestWebUI:
         assert b"/database-builder/build" in bd
         assert b"/database-builder/status/" in bd
         assert b"/database-builder/download/" in bd
+        _, _, bj = self._get(app, "/static/js/batch.js")
+        assert b"/video" in bj  # video form posts the offline-video route
 
     def test_static_path_traversal_guarded(self, app_and_registry):
         app = app_and_registry[0]
