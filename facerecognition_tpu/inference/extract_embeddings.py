@@ -45,6 +45,9 @@ class EmbedderConfig:
     embedding_size: int = 512
     input_size: int = 112  # 112 for arcface, 160 for facenet
     dtype: Any = jnp.float32
+    # ArcFace backbone depth: (3, 4, 6, 3) = ResNet50 (reference parity);
+    # (2, 2, 2, 2) = the slim serving variant. Ignored for facenet.
+    stage_sizes: tuple = (3, 4, 6, 3)
 
 
 class Embedder:
@@ -60,7 +63,9 @@ class Embedder:
         self.config = config
         if config.model_type == "arcface":
             self.model = ArcFaceModel(
-                embedding_size=config.embedding_size, dtype=config.dtype
+                embedding_size=config.embedding_size,
+                dtype=config.dtype,
+                stage_sizes=tuple(config.stage_sizes),
             )
         elif config.model_type == "facenet":
             self.model = FaceNetModel(
@@ -113,20 +118,32 @@ def load_arcface_model(
     checkpoint_path: Optional[str] = None,
     embedding_size: int = 512,
     dtype: Any = jnp.float32,
+    stage_sizes: Optional[tuple] = None,
 ) -> Embedder:
     """Load an ArcFace embedder (reference extract_embeddings.py:80-134).
 
     Accepts flax msgpack checkpoints or reference torch .pth checkpoints
     (ported on the fly). ``checkpoint_path=None`` → random init (testing).
+    Backbone depth rides in the checkpoint as a ``stage_sizes`` key (like
+    the detector's ``arch`` marker); absent → ResNet50. An explicit
+    ``stage_sizes`` argument overrides both.
     """
-    config = EmbedderConfig("arcface", embedding_size, 112, dtype)
+    ckpt_stages = None
     if checkpoint_path:
         from facerecognition_tpu.models.port_torch import arcface_key_map
 
         variables = _load_variables_any(checkpoint_path, arcface_key_map)
+        if isinstance(variables, dict):
+            raw = variables.pop("stage_sizes", None)
+            if raw is not None:
+                ckpt_stages = tuple(int(v) for v in np.asarray(raw))
         variables = jax.tree_util.tree_map(jnp.asarray, variables)
-    else:
-        model = ArcFaceModel(embedding_size=embedding_size, dtype=dtype)
+    stages = tuple(stage_sizes or ckpt_stages or (3, 4, 6, 3))
+    config = EmbedderConfig("arcface", embedding_size, 112, dtype, stages)
+    if not checkpoint_path:
+        model = ArcFaceModel(
+            embedding_size=embedding_size, dtype=dtype, stage_sizes=stages
+        )
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3))
         )

@@ -117,6 +117,11 @@ class ArcFaceModel(nn.Module):
     easy_margin: bool = False
     dropout: float = 0.5
     dtype: Dtype = jnp.float32
+    #: Bottleneck blocks per stage. (3, 4, 6, 3) = ResNet50 (the reference
+    #: backbone); (2, 2, 2, 2) = "ResNet26", ~55% of the block FLOPs for
+    #: latency-critical serving (checkpoints carry the marker — see
+    #: inference.extract_embeddings.load_arcface_model).
+    stage_sizes: tuple = (3, 4, 6, 3)
 
     @nn.compact
     def __call__(
@@ -135,13 +140,17 @@ class ArcFaceModel(nn.Module):
             # unused on this path.
             feats = jnp.mean(feature_map.astype(jnp.float32), axis=(1, 2))
         elif return_feature_map:
-            feats, fmap = ResNet50Backbone(dtype=self.dtype, name="backbone")(
-                x, train=train, return_feature_map=True
-            )
+            feats, fmap = ResNet50Backbone(
+                dtype=self.dtype,
+                stage_sizes=self.stage_sizes,
+                name="backbone",
+            )(x, train=train, return_feature_map=True)
         else:
-            feats = ResNet50Backbone(dtype=self.dtype, name="backbone")(
-                x, train=train
-            )  # (B, 2048)
+            feats = ResNet50Backbone(
+                dtype=self.dtype,
+                stage_sizes=self.stage_sizes,
+                name="backbone",
+            )(x, train=train)  # (B, 2048)
         feats = nn.BatchNorm(use_running_average=not train, name="bn1", **BN_KW)(
             feats
         )

@@ -46,6 +46,9 @@ class SynthIdConfig:
     label_smoothing: float = 0.1
     embedding_size: int = 512
     seed: int = 0
+    # ArcFace backbone depth: (3, 4, 6, 3) = ResNet50 (reference parity);
+    # (2, 2, 2, 2) = slim serving variant (marker saved in the checkpoint).
+    stage_sizes: tuple = (3, 4, 6, 3)
     cache: str | None = None  # npz path: render once, reuse across runs
     # Keep the uint8 train set resident in HBM when it fits (one transfer
     # for the whole run, batches gathered on device by index). Streaming
@@ -203,6 +206,7 @@ def train_synthid(config: SynthIdConfig, log=print):
         margin=config.margin,
         scale=config.scale,
         dtype=jnp.float32,
+        stage_sizes=tuple(config.stage_sizes),
     )
     rng = jax.random.PRNGKey(config.seed)
     variables = model.init(
@@ -347,18 +351,13 @@ def train_synthid(config: SynthIdConfig, log=print):
         log(f"epoch {epoch}: loss {row['loss']:.4f} "
             f"train_acc {row['train_acc']:.3f} ({row['sec']}s)")
     # Final evaluation through the eval suite.
-    tr_emb = _embed_all(
-        ArcFaceModel(embedding_size=config.embedding_size, dtype=jnp.float32),
-        state.params,
-        state.batch_stats,
-        tr_imgs,
+    eval_model = ArcFaceModel(
+        embedding_size=config.embedding_size,
+        dtype=jnp.float32,
+        stage_sizes=tuple(config.stage_sizes),
     )
-    va_emb = _embed_all(
-        ArcFaceModel(embedding_size=config.embedding_size, dtype=jnp.float32),
-        state.params,
-        state.batch_stats,
-        va_imgs,
-    )
+    tr_emb = _embed_all(eval_model, state.params, state.batch_stats, tr_imgs)
+    va_emb = _embed_all(eval_model, state.params, state.batch_stats, va_imgs)
     final = evaluate_retrieval(tr_emb, tr_labels, va_emb, va_labels, config.n_ids)
     log("final eval: " + json.dumps(final))
     return (
@@ -388,6 +387,8 @@ def main():
                     help="per-epoch crash checkpoint path (msgpack)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from --ckpt if it exists")
+    ap.add_argument("--stage-sizes", default="3,4,6,3",
+                    help="backbone blocks per stage; 2,2,2,2 = slim variant")
     args = ap.parse_args()
     config = SynthIdConfig(
         n_ids=args.n_ids,
@@ -399,12 +400,18 @@ def main():
         cache=args.cache,
         ckpt_path=args.ckpt,
         resume=args.resume,
+        stage_sizes=tuple(int(v) for v in args.stage_sizes.split(",")),
     )
     variables, history, final = train_synthid(config)
     # Strip the margin head: the serving checkpoint loads into
     # ArcFaceModel(num_classes=None) via inference.load_arcface_model.
     params = {k: v for k, v in variables["params"].items() if k != "arcface"}
-    save_variables(args.out, {"params": params, "batch_stats": variables["batch_stats"]})
+    ckpt = {"params": params, "batch_stats": variables["batch_stats"]}
+    if tuple(config.stage_sizes) != (3, 4, 6, 3):
+        # Arch marker (like the detector's 'arch' key): load_arcface_model
+        # pops it and builds the matching backbone.
+        ckpt["stage_sizes"] = np.asarray(config.stage_sizes, np.int32)
+    save_variables(args.out, ckpt)
     with open(args.report, "w") as f:
         json.dump(
             {"config": dataclasses.asdict(config), "history": history,

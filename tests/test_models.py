@@ -88,6 +88,41 @@ class TestArcFaceModel:
         assert emb.shape == (2, 512)
         assert "batch_stats" in mutated
 
+    def test_slim_backbone_roundtrip(self, tmp_path):
+        """stage_sizes=(2,2,2,2): fewer params, same contract, and the
+        checkpoint marker rebuilds the right backbone on load."""
+        import numpy as np
+
+        from facerecognition_tpu.inference.extract_embeddings import (
+            load_arcface_model,
+        )
+        from facerecognition_tpu.utils.serialization import save_variables
+
+        slim = ArcFaceModel(embedding_size=512, stage_sizes=(2, 2, 2, 2))
+        v_slim = slim.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
+        full = ArcFaceModel(embedding_size=512)
+        v_full = full.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
+        n = lambda v: sum(
+            x.size for x in jax.tree_util.tree_leaves(v["params"])
+        )
+        assert n(v_slim) < 0.7 * n(v_full)
+        emb = slim.apply(v_slim, jnp.zeros((2, 112, 112, 3)))
+        assert emb.shape == (2, 512)
+
+        p = str(tmp_path / "slim.msgpack")
+        save_variables(
+            p,
+            {
+                "params": v_slim["params"],
+                "batch_stats": v_slim["batch_stats"],
+                "stage_sizes": np.asarray((2, 2, 2, 2), np.int32),
+            },
+        )
+        embedder = load_arcface_model(p)
+        assert tuple(embedder.config.stage_sizes) == (2, 2, 2, 2)
+        out = embedder.embed_uint8(np.zeros((2, 112, 112, 3), np.float32))
+        assert out.shape == (2, 512) and np.isfinite(out).all()
+
     def test_freeze_mask(self, model_and_params):
         _, variables = model_and_params
         mask = freeze_mask(variables["params"], freeze_ratio=0.8)
