@@ -94,7 +94,11 @@ def evaluate_retrieval(
     Mirrors what evaluate_arcface_kaggle.ipynb measures: gallery = per-class
     mean prototypes of the train split, queries = val images.
     """
-    from facerecognition_tpu.inference.evaluate import roc_eer, top_k_accuracy
+    from facerecognition_tpu.inference.evaluate import (
+        cmc_curve,
+        roc_eer,
+        top_k_accuracy,
+    )
     from facerecognition_tpu.ops.matcher import compute_prototypes
 
     protos = np.asarray(
@@ -104,6 +108,7 @@ def evaluate_retrieval(
     )
     scores = val_emb @ protos.T  # (Nv, C) cosine (all normalized)
     out = top_k_accuracy(scores, val_labels, ks=(1, 5))
+    out["cmc"] = cmc_curve(scores, val_labels, max_rank=20)
 
     # Verification pairs: each consecutive same-id val pair positive, random
     # different-id pairs negative (reference train_arcface.py:114-210 style).
