@@ -409,6 +409,7 @@ def create_app(
     builder=None,
     realtime=None,
     download_root: Optional[str] = None,
+    max_body_bytes: int = 256 << 20,
 ) -> Callable:
     """Build the WSGI application. All collaborators are injectable for
     testing; defaults construct the standard stack lazily."""
@@ -446,6 +447,24 @@ def create_app(
     def app(environ, start_response):
         path = environ.get("PATH_INFO", "/")
         method = environ.get("REQUEST_METHOD", "GET")
+
+        # Request-size guard: _parse_multipart buffers the whole body, so an
+        # unbounded upload (e.g. a multi-GB video) would take down the
+        # worker before any route logic runs.
+        if method == "POST":
+            try:
+                length = int(environ.get("CONTENT_LENGTH") or 0)
+            except ValueError:
+                length = 0
+            if length > max_body_bytes:
+                return respond_json(
+                    start_response,
+                    {
+                        "error": f"request body exceeds "
+                        f"{max_body_bytes >> 20} MB limit"
+                    },
+                    status="413 Content Too Large",
+                )
 
         # -- static assets (css/js) ---------------------------------------
         if path.startswith("/static/"):

@@ -363,6 +363,16 @@ class TestWebApp:
         status, _ = Client(app).get_json("/nope")
         assert status.startswith("404")
 
+    def test_oversized_body_rejected(self, rng):
+        from facerecognition_tpu.apps.web_app import EngineRegistry, create_app
+
+        app = create_app(EngineRegistry(), max_body_bytes=1024)
+        status, payload = Client(app).post_multipart(
+            "/", [("image", ("big.png", bytes(4096)))]
+        )
+        assert status.startswith("413")
+        assert "limit" in payload["error"]
+
     def test_video_route(self, app_and_registry, tmp_path, rng):
         import cv2
 
