@@ -60,6 +60,7 @@ class EngineRegistry:
         gallery_path: Optional[str] = None,
         detector=None,
         threshold: float = 0.5,
+        match_kernel: str = "auto",
     ):
         self.config = dict(
             arcface_ckpt=arcface_ckpt,
@@ -67,6 +68,7 @@ class EngineRegistry:
             lbph_model_path=lbph_model_path,
             gallery_path=gallery_path,
             threshold=threshold,
+            match_kernel=match_kernel,
         )
         self.detector = detector
         self.lbph_label_map: dict[int, str] = {}
@@ -116,6 +118,7 @@ class EngineRegistry:
                     checkpoint_path=ckpt,
                     threshold=self.config["threshold"],
                     detector=self.detector,
+                    match_kernel=self.config.get("match_kernel", "auto"),
                 )
                 gp = self.config["gallery_path"]
                 if gp and os.path.exists(gp):
@@ -893,6 +896,12 @@ def main(argv: Optional[list[str]] = None):
     parser.add_argument("--lbph-model", default=None)
     parser.add_argument("--gallery", default=None)
     parser.add_argument(
+        "--match-kernel",
+        default="auto",
+        choices=["auto", "dense", "pallas", "int8"],
+        help="gallery match path: int8 = 4x HBM capacity (scores ±1e-3)",
+    )
+    parser.add_argument(
         "--warmup",
         action="store_true",
         help="pre-build engines and jit-compile before serving "
@@ -917,6 +926,7 @@ def main(argv: Optional[list[str]] = None):
         lbph_model_path=args.lbph_model,
         gallery_path=args.gallery,
         detector=detector,
+        match_kernel=args.match_kernel,
     )
     app = create_app(registry)
     if args.warmup:
