@@ -68,20 +68,20 @@ def build_pipeline():
         anchor_centers,
         detect_best_face_batch,
     )
+    from facerecognition_tpu.inference.extract_embeddings import (
+        load_arcface_checkpoint,
+    )
     from facerecognition_tpu.ops.image import normalize_imagenet_style
     from facerecognition_tpu.ops.matcher import auto_cosine_topk, l2_normalize
     from facerecognition_tpu.ops.warp_mxu import align_crop_mxu_batch, bilinear_resize_mxu_batch
-    from facerecognition_tpu.utils.serialization import load_variables
 
     DET_SIZE = 128
 
-    model = ArcFaceModel(embedding_size=512, dtype=jnp.float32)
     if os.path.exists(EMBEDDER_WEIGHTS):
-        variables = load_variables(EMBEDDER_WEIGHTS)
-        variables = {
-            k: variables[k] for k in ("params", "batch_stats") if k in variables
-        }
+        # Arch marker (stage_sizes) honored — slim checkpoints bench as-is.
+        model, variables = load_arcface_checkpoint(EMBEDDER_WEIGHTS)
     else:
+        model = ArcFaceModel(embedding_size=512, dtype=jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
     det_net, det_vars, _ = load_detector(DET_SIZE)
     anchors = jnp.asarray(anchor_centers(DET_SIZE))

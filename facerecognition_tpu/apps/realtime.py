@@ -121,6 +121,10 @@ def process_video(
       ``{"results": [per-frame dicts], "frames": N, "elapsed_s": t,
       "fps": N/t}`` — results align with processed (strided) frames.
     """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if max_frames is not None and max_frames <= 0:
+        return {"results": [], "frames": 0, "elapsed_s": 0.0, "fps": 0.0}
     if isinstance(source, (str, bytes)):
         source = VideoFileSource(source)
     use_fused = engine.detector is not None and len(engine.gallery) > 0

@@ -160,11 +160,18 @@ class EngineRegistry:
 # ---------------------------------------------------------------------------
 
 
+def _content_length(environ) -> int:
+    """Tolerant Content-Length: malformed headers read as 0, not a 500."""
+    try:
+        return int(environ.get("CONTENT_LENGTH") or 0)
+    except (TypeError, ValueError):
+        return 0
+
+
 def _parse_multipart(environ) -> dict[str, list]:
     """Minimal multipart/form-data parser on the stdlib email machinery."""
     ctype = environ.get("CONTENT_TYPE", "")
-    length = int(environ.get("CONTENT_LENGTH") or 0)
-    body = environ["wsgi.input"].read(length)
+    body = environ["wsgi.input"].read(_content_length(environ))
     if not ctype.startswith("multipart/form-data"):
         return {
             k: [v[-1]] for k, v in parse_qs(body.decode(errors="ignore")).items()
@@ -454,20 +461,28 @@ def create_app(
         # Request-size guard: _parse_multipart buffers the whole body, so an
         # unbounded upload (e.g. a multi-GB video) would take down the
         # worker before any route logic runs.
-        if method == "POST":
-            try:
-                length = int(environ.get("CONTENT_LENGTH") or 0)
-            except ValueError:
-                length = 0
-            if length > max_body_bytes:
-                return respond_json(
+        if method == "POST" and _content_length(environ) > max_body_bytes:
+            msg = (
+                f"request body exceeds {max_body_bytes} byte "
+                f"({max_body_bytes / (1 << 20):.0f} MB) limit"
+            )
+            if "text/html" in environ.get("HTTP_ACCEPT", ""):
+                # Browser form posts (/, /batch) get a page, not raw JSON.
+                return respond_page(
                     start_response,
-                    {
-                        "error": f"request body exceeds "
-                        f"{max_body_bytes >> 20} MB limit"
-                    },
+                    "index.html",
+                    "Upload too large",
+                    "home",
                     status="413 Content Too Large",
+                    threshold="0.5",
+                    results=f'<div class="result"><h3>Error</h3>'
+                    f"<p>{esc(msg)}</p></div>",
                 )
+            return respond_json(
+                start_response,
+                {"error": msg},
+                status="413 Content Too Large",
+            )
 
         # -- static assets (css/js) ---------------------------------------
         if path.startswith("/static/"):
@@ -689,6 +704,14 @@ def create_app(
                     status="400 Bad Request",
                 )
             model = (fields.get("model") or ["arcface"])[0]
+            if model not in ("arcface", "facenet"):
+                # LBPH has no detector/batched-embedding API; every other
+                # route special-cases it via recognize_with_model.
+                return respond_json(
+                    start_response,
+                    {"error": f"model {model!r} does not support video"},
+                    status="400 Bad Request",
+                )
             engine = registry.get(model)
             if engine is None:
                 return respond_json(
@@ -696,10 +719,23 @@ def create_app(
                     {"error": f"model {model!r} not loaded"},
                     status="503 Service Unavailable",
                 )
-            every_n = int((fields.get("every_n") or ["1"])[0])
-            max_frames = min(
-                int((fields.get("max_frames") or ["300"])[0]), 2000
-            )
+
+            def _int_field(name, default):
+                raw = (fields.get(name) or [""])[0]
+                try:
+                    return int(raw) if str(raw).strip() else default
+                except (TypeError, ValueError):
+                    return None
+
+            every_n = _int_field("every_n", 1)
+            max_frames = _int_field("max_frames", 300)
+            if every_n is None or max_frames is None:
+                return respond_json(
+                    start_response,
+                    {"error": "every_n/max_frames must be integers"},
+                    status="400 Bad Request",
+                )
+            max_frames = max(min(max_frames, 2000), 1)
             suffix = os.path.splitext(files[0]["filename"])[1] or ".mp4"
             tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
             try:

@@ -114,6 +114,37 @@ def _load_variables_any(path: str, key_map) -> Any:
     return load_variables(path)
 
 
+def load_arcface_checkpoint(
+    checkpoint_path: str,
+    embedding_size: int = 512,
+    dtype: Any = jnp.float32,
+) -> tuple[ArcFaceModel, dict]:
+    """(model, variables) for a serving checkpoint, arch marker honored.
+
+    The single place that understands the ``stage_sizes`` key — every
+    consumer that builds its own jitted graph around the raw model
+    (bench.py, scripts/profile_pipeline.py, examples/realtime_bench.py)
+    must load through here or a slim checkpoint crashes on param-tree
+    mismatch against a hard-coded ResNet50.
+    """
+    from facerecognition_tpu.models.port_torch import arcface_key_map
+
+    variables = _load_variables_any(checkpoint_path, arcface_key_map)
+    stages = (3, 4, 6, 3)
+    if isinstance(variables, dict):
+        raw = variables.pop("stage_sizes", None)
+        if raw is not None:
+            stages = tuple(int(v) for v in np.asarray(raw))
+        variables = {
+            k: variables[k] for k in ("params", "batch_stats") if k in variables
+        }
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    model = ArcFaceModel(
+        embedding_size=embedding_size, dtype=dtype, stage_sizes=stages
+    )
+    return model, variables
+
+
 def load_arcface_model(
     checkpoint_path: Optional[str] = None,
     embedding_size: int = 512,
@@ -130,14 +161,10 @@ def load_arcface_model(
     """
     ckpt_stages = None
     if checkpoint_path:
-        from facerecognition_tpu.models.port_torch import arcface_key_map
-
-        variables = _load_variables_any(checkpoint_path, arcface_key_map)
-        if isinstance(variables, dict):
-            raw = variables.pop("stage_sizes", None)
-            if raw is not None:
-                ckpt_stages = tuple(int(v) for v in np.asarray(raw))
-        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        model, variables = load_arcface_checkpoint(
+            checkpoint_path, embedding_size, dtype
+        )
+        ckpt_stages = model.stage_sizes
     stages = tuple(stage_sizes or ckpt_stages or (3, 4, 6, 3))
     config = EmbedderConfig("arcface", embedding_size, 112, dtype, stages)
     if not checkpoint_path:

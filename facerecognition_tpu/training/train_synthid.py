@@ -284,7 +284,14 @@ def train_synthid(config: SynthIdConfig, log=print):
 
         tmp = config.ckpt_path + ".tmp"
         save_variables(
-            tmp, {"params": state.params, "batch_stats": state.batch_stats}
+            tmp,
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                # Arch marker: a --stage-sizes mismatch on resume must fail
+                # with a clear message, not a flax param-tree error.
+                "stage_sizes": np.asarray(config.stage_sizes, np.int32),
+            },
         )
         os.replace(tmp, config.ckpt_path)
         # Meta is replaced atomically AND after the ckpt: a kill between the
@@ -304,6 +311,18 @@ def train_synthid(config: SynthIdConfig, log=print):
 
         if os.path.exists(config.ckpt_path):
             tree = load_variables(config.ckpt_path)
+            raw_stages = tree.pop("stage_sizes", None)
+            ckpt_stages = (
+                tuple(int(v) for v in np.asarray(raw_stages))
+                if raw_stages is not None
+                else (3, 4, 6, 3)  # pre-marker checkpoints were ResNet50
+            )
+            if ckpt_stages != tuple(config.stage_sizes):
+                raise ValueError(
+                    f"checkpoint {config.ckpt_path} was trained with "
+                    f"stage_sizes={ckpt_stages}, this run asks for "
+                    f"{tuple(config.stage_sizes)} — point --ckpt elsewhere"
+                )
             state = state.replace(
                 params=tree["params"], batch_stats=tree["batch_stats"]
             )

@@ -59,14 +59,16 @@ def main():
     frames_np, _, _, _ = scene_batch(rng, B, 160, max_faces=1, p_face=1.0)
     frames = jnp.asarray(frames_np.astype(np.float32))
 
-    model = ArcFaceModel(embedding_size=512, dtype=jnp.float32)
     emb_w = os.path.join(_ASSETS, "arcface_synthid_512.msgpack")
     if os.path.exists(emb_w):
-        variables = load_variables(emb_w)
-        variables = {
-            k: variables[k] for k in ("params", "batch_stats") if k in variables
-        }
+        # Arch marker honored (slim checkpoints profile as-is).
+        from facerecognition_tpu.inference.extract_embeddings import (
+            load_arcface_checkpoint,
+        )
+
+        model, variables = load_arcface_checkpoint(emb_w)
     else:
+        model = ArcFaceModel(embedding_size=512, dtype=jnp.float32)
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3))
         )

@@ -399,11 +399,23 @@ class TestWebApp:
         assert out["frames"] == 3  # 6 frames, stride 2
         assert len(out["timeline"]) == 3
         assert sum(out["identity_counts"].values()) == 3
-        # error paths: no file; garbage bytes
+        # error paths: no file; garbage bytes; bad ints; non-embedder model
         status, out = c.post_multipart("/video", [("model", "arcface")])
         assert status.startswith("400")
         status, out = c.post_multipart(
             "/video", [("video", ("x.mp4", b"not a video"))]
+        )
+        assert status.startswith("400")
+        status, out = c.post_multipart(
+            "/video", [("video", ("c.avi", data)), ("every_n", "")]
+        )
+        assert status.startswith("200")  # cleared field -> default, not 500
+        status, out = c.post_multipart(
+            "/video", [("video", ("c.avi", data)), ("every_n", "abc")]
+        )
+        assert status.startswith("400")
+        status, out = c.post_multipart(
+            "/video", [("video", ("c.avi", data)), ("model", "lbph")]
         )
         assert status.startswith("400")
 
@@ -502,6 +514,11 @@ class TestVideoFile:
         engine = RecognitionEngine(embedder=SmallEmbedder())
         out = process_video(engine, path, batch_size=8, max_frames=3)
         assert out["frames"] == 3
+        # degenerate args: 0-cap is empty (not 1 frame); every_n=0 raises
+        out0 = process_video(engine, path, max_frames=0)
+        assert out0["frames"] == 0 and out0["results"] == []
+        with pytest.raises(ValueError, match="every_n"):
+            process_video(engine, path, every_n=0)
 
 
 class TestEngineRegistryDegradation:
