@@ -9,6 +9,8 @@ Route parity with reference web_app.py (1246 LoC):
 - ``GET /realtime_result``       latest recognition JSON (:1069-1078)
 - ``POST /stop_camera``          (:1081)
 - ``POST /set_realtime_model``   (:1084-1093)
+- ``POST /video``                offline video recognition (framework-plus:
+                                 the reference has no file playback)
 - ``GET /database-builder``      builder page (:1096)
 - ``POST /database-builder/build``          (:1129-1205)
 - ``GET /database-builder/status/<job_id>`` (:1208-1214)
