@@ -54,6 +54,27 @@ def test_resnet50_parity():
 
 
 @pytest.mark.slow
+def test_resnet26_slim_parity():
+    """The slim (2,2,2,2) backbone ports and matches torch numerically —
+    the same parity bar the full ResNet50 meets."""
+    stages = (2, 2, 2, 2)
+    tmodel = TorchResNet50(stage_sizes=stages).eval()
+    _randomize_bn_stats(tmodel)
+    variables = port_state_dict(tmodel.state_dict(), resnet50_key_map)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    x = np.random.default_rng(3).normal(size=(2, 112, 112, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    model = ResNet50Backbone(stage_sizes=stages)
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert out.shape == ref.shape == (2, 2048)
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 1e-4
+
+
+@pytest.mark.slow
 def test_inception_resnet_v1_parity():
     tmodel = TorchInceptionResnetV1().eval()
     _randomize_bn_stats(tmodel)

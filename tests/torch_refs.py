@@ -40,17 +40,17 @@ class TorchBottleneck(nn.Module):
 
 
 class TorchResNet50(nn.Module):
-    def __init__(self):
+    def __init__(self, stage_sizes=(3, 4, 6, 3)):
         super().__init__()
         self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.relu = nn.ReLU(inplace=True)
         self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
         self.inplanes = 64
-        self.layer1 = self._make_layer(64, 3, 1)
-        self.layer2 = self._make_layer(128, 4, 2)
-        self.layer3 = self._make_layer(256, 6, 2)
-        self.layer4 = self._make_layer(512, 3, 2)
+        self.layer1 = self._make_layer(64, stage_sizes[0], 1)
+        self.layer2 = self._make_layer(128, stage_sizes[1], 2)
+        self.layer3 = self._make_layer(256, stage_sizes[2], 2)
+        self.layer4 = self._make_layer(512, stage_sizes[3], 2)
         self.avgpool = nn.AdaptiveAvgPool2d(1)
 
     def _make_layer(self, width, blocks, stride):
