@@ -28,7 +28,12 @@ import time
 import numpy as np
 
 _ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
-EMBEDDER_WEIGHTS = os.path.join(_ASSETS, "arcface_synthid_512.msgpack")
+# Override to A/B alternative embedder checkpoints (e.g. the slim backbone)
+# without editing the file; the arch marker in the checkpoint is honored.
+EMBEDDER_WEIGHTS = os.environ.get(
+    "FACEREC_BENCH_EMBEDDER",
+    os.path.join(_ASSETS, "arcface_synthid_512.msgpack"),
+)
 
 
 def load_detector(det_size):
