@@ -170,6 +170,140 @@ def facenet_wrapper_key_map(torch_key: str) -> str | None:
     return None if inner is None else f"backbone/{inner}"
 
 
+# ---------------------------------------------------------------------------
+# Flax → PyTorch export (inverse of the porting path), so weights trained in
+# this framework load back into the reference stack (same state-dict layout
+# the reference saves: models/arcface/train_arcface.py:755-773 stores
+# model_state_dict with backbone./bn1/fc/bn2/arcface.weight keys;
+# models/facenet/facenet_model.py wraps InceptionResnetV1 as ``model.``).
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Mapping, prefix: tuple = ()):
+    for k in sorted(tree):
+        v = tree[k]
+        if isinstance(v, Mapping):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), np.asarray(v)
+
+
+def export_state_dict(
+    variables: Mapping,
+    inverse_path: "callable[[str], str | None]",
+    with_batches_tracked: bool = True,
+) -> dict:
+    """Flax ``{'params', 'batch_stats'}`` → torch-style flat state dict.
+
+    Exact inverse of :func:`port_state_dict` (layout rules in the module
+    docstring, reversed): conv kernels HWIO→OIHW, linear kernels IO→OI, BN
+    scale→weight + stats→running_mean/var. ``num_batches_tracked`` (dropped
+    on port) is synthesized as 0 so ``load_state_dict(strict=True)`` works.
+    The ArcMargin head's ``weight`` param is passed through verbatim (it is
+    stored in torch's (C, D) layout on both sides).
+    """
+    out: dict[str, np.ndarray] = {}
+    for path, val in _flatten(variables.get("params", {})):
+        mods, leaf = path[:-1], path[-1]
+        tpath = inverse_path("/".join(mods))
+        if tpath is None:
+            continue
+        if leaf == "kernel":
+            if val.ndim == 4:  # HWIO → OIHW
+                out[f"{tpath}.weight"] = val.transpose(3, 2, 0, 1)
+            else:  # IO → OI
+                out[f"{tpath}.weight"] = val.transpose(1, 0)
+        elif leaf == "scale":
+            out[f"{tpath}.weight"] = val
+        else:  # bias, or the margin head's verbatim 'weight'
+            out[f"{tpath}.{leaf}"] = val
+    for path, val in _flatten(variables.get("batch_stats", {})):
+        mods, leaf = path[:-1], path[-1]
+        tpath = inverse_path("/".join(mods))
+        if tpath is None:
+            continue
+        name = {"mean": "running_mean", "var": "running_var"}.get(leaf)
+        if name is None:
+            continue
+        out[f"{tpath}.{name}"] = val
+        if with_batches_tracked:
+            out.setdefault(
+                f"{tpath}.num_batches_tracked", np.asarray(0, np.int64)
+            )
+    return out
+
+
+def resnet50_inverse_path(path: str) -> str:
+    """Inverse of :func:`resnet50_key_map` on module paths."""
+    segs = []
+    for s in path.split("/"):
+        s = s.replace("downsample_conv", "downsample.0").replace(
+            "downsample_bn", "downsample.1"
+        )
+        m = re.fullmatch(r"layer(\d)_(\d+)", s)
+        if m:
+            s = f"layer{m.group(1)}.{m.group(2)}"
+        segs.append(s)
+    return ".".join(segs)
+
+
+def arcface_inverse_path(path: str) -> str:
+    """Inverse of :func:`arcface_key_map` on module paths."""
+    if path.startswith("backbone/"):
+        return "backbone." + resnet50_inverse_path(path[len("backbone/") :])
+    return path.replace("/", ".")
+
+
+def inception_resnet_v1_inverse_path(path: str) -> str:
+    """Inverse of :func:`inception_resnet_v1_key_map` on module paths."""
+    segs = []
+    for s in path.split("/"):
+        m = re.fullmatch(r"repeat_(\d)_(\d+)", s)
+        if m:
+            s = f"repeat_{m.group(1)}.{m.group(2)}"
+        m = re.fullmatch(r"branch(\d)_(\d+)", s)
+        if m:
+            s = f"branch{m.group(1)}.{m.group(2)}"
+        segs.append(s)
+    return ".".join(segs)
+
+
+def facenet_inverse_path(path: str, prefix: str = "model.") -> str:
+    """Inverse of :func:`facenet_wrapper_key_map` (reference ``model.``
+    prefix on the backbone; ``projection`` stays top-level)."""
+    if path.startswith("backbone/"):
+        return prefix + inception_resnet_v1_inverse_path(
+            path[len("backbone/") :]
+        )
+    return path.replace("/", ".")
+
+
+def export_arcface_state_dict(variables: Mapping) -> dict:
+    """ArcFaceModel variables → reference-layout torch state dict."""
+    return export_state_dict(variables, arcface_inverse_path)
+
+
+def export_facenet_state_dict(
+    variables: Mapping, prefix: str = "model."
+) -> dict:
+    """FaceNet variables → reference-layout torch state dict (pass
+    ``prefix=''`` for a bare InceptionResnetV1 layout)."""
+    return export_state_dict(
+        variables, lambda p: facenet_inverse_path(p, prefix)
+    )
+
+
+def save_torch_checkpoint(
+    path: str, state_dict: Mapping, wrapper_key: str = "model_state_dict"
+) -> None:
+    """Write a ``.pth`` the reference's loaders accept (tensors under
+    ``model_state_dict``, like train_arcface.py:755-773 saves)."""
+    import torch  # local import: only needed on the exporting path
+
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_dict.items()}
+    torch.save({wrapper_key: tensors} if wrapper_key else tensors, path)
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pth/.pt checkpoint into a flat numpy state dict (host-side).
 

@@ -113,3 +113,131 @@ def test_arcface_margin_head_kept_verbatim():
     np.testing.assert_array_equal(out["params"]["arcface"]["weight"], w)
     # the plain linear still transposes OI → IO
     assert out["params"]["fc"]["kernel"].shape == (4, 2)
+
+
+# ----------------------------- flax → torch export -------------------------
+
+
+def _tree_equal(a, b, path=""):
+    assert sorted(a) == sorted(b), f"{path}: {sorted(a)} != {sorted(b)}"
+    for k in a:
+        if isinstance(a[k], dict):
+            _tree_equal(a[k], b[k], f"{path}/{k}")
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=f"{path}/{k}"
+            )
+
+
+def test_export_resnet50_roundtrips_to_original_state_dict():
+    """torch → flax (port) → torch (export) reproduces the original state
+    dict exactly, keys and values, including num_batches_tracked."""
+    from facerecognition_tpu.models.port_torch import (
+        export_state_dict,
+        resnet50_inverse_path,
+    )
+
+    tmodel = TorchResNet50(stage_sizes=(1, 1, 1, 1)).eval()
+    _randomize_bn_stats(tmodel)
+    orig = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = port_state_dict(orig, resnet50_key_map)
+    exported = export_state_dict(variables, resnet50_inverse_path)
+    assert sorted(exported) == sorted(orig)
+    for k in orig:
+        np.testing.assert_array_equal(exported[k], orig[k], err_msg=k)
+    # and torch itself accepts it strictly
+    tmodel.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in exported.items()},
+        strict=True,
+    )
+
+
+def test_export_arcface_roundtrip_and_margin_head():
+    """flax ArcFaceModel → reference-layout torch dict → flax again, exact."""
+    from facerecognition_tpu.models.arcface import ArcFaceModel
+    from facerecognition_tpu.models.port_torch import (
+        arcface_key_map,
+        export_arcface_state_dict,
+    )
+
+    model = ArcFaceModel(
+        num_classes=7, embedding_size=16, stage_sizes=(1, 1, 1, 1)
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 56, 56, 3)),
+        labels=jnp.zeros((1,), jnp.int32),
+    )
+    variables = jax.tree.map(np.asarray, dict(variables))
+    exported = export_arcface_state_dict(variables)
+    # reference layout: backbone./bn1/fc/bn2/arcface.weight keys
+    assert any(k.startswith("backbone.conv1") for k in exported)
+    assert "arcface.weight" in exported
+    assert exported["arcface.weight"].shape == (7, 16)
+    back = port_state_dict(exported, arcface_key_map)
+    _tree_equal(back["params"], variables["params"])
+    _tree_equal(back["batch_stats"], variables["batch_stats"])
+
+
+@pytest.mark.slow
+def test_export_inception_roundtrips_to_original_state_dict():
+    from facerecognition_tpu.models.port_torch import (
+        export_state_dict,
+        inception_resnet_v1_inverse_path,
+    )
+
+    tmodel = TorchInceptionResnetV1().eval()
+    _randomize_bn_stats(tmodel)
+    orig = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = port_state_dict(orig, inception_resnet_v1_key_map)
+    exported = export_state_dict(variables, inception_resnet_v1_inverse_path)
+    assert sorted(exported) == sorted(orig)
+    for k in orig:
+        np.testing.assert_array_equal(exported[k], orig[k], err_msg=k)
+
+
+def test_export_facenet_wrapper_prefix_roundtrip():
+    """model.-prefixed export ports back through the prefix-tolerant map."""
+    from facerecognition_tpu.models.port_torch import (
+        export_facenet_state_dict,
+        facenet_wrapper_key_map,
+    )
+
+    # tiny synthetic facenet-shaped tree (full net covered by the slow test)
+    variables = {
+        "params": {
+            "backbone": {
+                "conv2d_1a": {
+                    "conv": {"kernel": np.ones((3, 3, 3, 4), np.float32)},
+                    "bn": {
+                        "scale": np.ones((4,), np.float32),
+                        "bias": np.zeros((4,), np.float32),
+                    },
+                },
+                "repeat_1_0": {
+                    "branch1_0": {
+                        "conv": {"kernel": np.ones((1, 1, 4, 2), np.float32)}
+                    }
+                },
+            },
+            "projection": {"kernel": np.ones((512, 128), np.float32)},
+        },
+        "batch_stats": {
+            "backbone": {
+                "conv2d_1a": {
+                    "bn": {
+                        "mean": np.zeros((4,), np.float32),
+                        "var": np.ones((4,), np.float32),
+                    }
+                }
+            }
+        },
+    }
+    exported = export_facenet_state_dict(variables)
+    assert "model.conv2d_1a.conv.weight" in exported
+    assert "model.repeat_1.0.branch1.0.conv.weight" in exported
+    assert "projection.weight" in exported
+    assert exported["projection.weight"].shape == (128, 512)
+    back = port_state_dict(exported, facenet_wrapper_key_map)
+    _tree_equal(back["params"], variables["params"])
+    _tree_equal(back["batch_stats"], variables["batch_stats"])
