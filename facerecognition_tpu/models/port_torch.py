@@ -300,7 +300,9 @@ def save_torch_checkpoint(
     ``model_state_dict``, like train_arcface.py:755-773 saves)."""
     import torch  # local import: only needed on the exporting path
 
-    tensors = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_dict.items()}
+    # np.array copies: msgpack-loaded arrays are read-only views, which
+    # torch.from_numpy would alias (and warn about)
+    tensors = {k: torch.from_numpy(np.array(v)) for k, v in state_dict.items()}
     torch.save({wrapper_key: tensors} if wrapper_key else tensors, path)
 
 
