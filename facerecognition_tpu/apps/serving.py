@@ -1,0 +1,180 @@
+"""Dynamic micro-batching onto the fused one-dispatch serving graph.
+
+Production TPU serving pattern the reference stack has no equivalent of
+(its Flask app runs one model forward per request, web_app.py:492-701):
+concurrent requests are coalesced into ONE ``fused_recognize_frames``
+dispatch — the MXU is throughput hardware, so batch-32 costs barely more
+than batch-1, and per-request latency under load *drops* because requests
+stop queueing behind single-frame dispatches.
+
+Design points:
+- Requests wait at most ``max_delay_ms`` after the first arrival before the
+  batch launches (latency floor under light load ≈ one fused dispatch).
+- Batches are padded up to the repo's standard bucket sizes (1/8/32/128/512)
+  so XLA compiles a handful of graphs once, never per-arriving-count.
+- Frames are host-resized to one fixed ``frame_size`` (cv2, matching the
+  golden-test convention) for stackability and a single compiled shape.
+- One dispatcher thread owns the device; request threads block on an event.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+BUCKETS = (1, 8, 32, 128, 512)
+
+
+class _Item:
+    __slots__ = ("frame", "event", "result", "error")
+
+    def __init__(self, frame: np.ndarray):
+        self.frame = frame
+        self.event = threading.Event()
+        self.result: Optional[dict] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent ``submit(frame)`` calls into fused batches.
+
+    Args:
+      engine: a ``RecognitionEngine`` with a detector and non-empty gallery
+        (the ``fused_recognize_frames`` requirements).
+      frame_size: every submitted frame is resized host-side to this
+        (H, W) so one compiled graph serves all requests.
+      k: top-k identities per face.
+      max_faces: NMS slots per frame (1 = argmax fast path).
+      max_batch: hard cap per dispatch (also the largest pad bucket used).
+      max_delay_ms: how long the first request in a batch may wait for
+        company before the dispatch launches anyway.
+    """
+
+    def __init__(
+        self,
+        engine,
+        frame_size: tuple[int, int] = (256, 256),
+        k: int = 5,
+        max_faces: int = 1,
+        max_batch: int = 128,
+        max_delay_ms: float = 5.0,
+    ):
+        self._engine = engine
+        self._frame_size = tuple(frame_size)
+        self._k = k
+        self._max_faces = max_faces
+        self._max_batch = int(max_batch)
+        self._max_delay = max_delay_ms / 1000.0
+        self._queue: "queue.Queue[Optional[_Item]]" = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_padded = 0
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, daemon=True, name="micro-batcher"
+        )
+        self._thread.start()
+
+    # -- request side --------------------------------------------------------
+
+    def submit(self, frame: np.ndarray, timeout: float = 60.0) -> dict:
+        """Recognize one frame; blocks until its batch returns.
+
+        Thread-safe; raises whatever the fused dispatch raised, or
+        ``TimeoutError`` if the batch did not complete in ``timeout`` s.
+        """
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        frame = np.asarray(frame)
+        if frame.ndim != 3 or frame.shape[2] != 3:
+            raise ValueError(f"expected (H, W, 3) frame, got {frame.shape}")
+        if frame.shape[:2] != self._frame_size:
+            import cv2
+
+            frame = cv2.resize(
+                frame.astype(np.uint8),
+                (self._frame_size[1], self._frame_size[0]),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        item = _Item(frame.astype(np.float32))
+        self._queue.put(item)
+        if not item.event.wait(timeout):
+            raise TimeoutError(f"recognition batch not ready in {timeout}s")
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            n_req, n_bat = self._n_requests, self._n_batches
+            return {
+                "requests": n_req,
+                "batches": n_bat,
+                "padded_frames": self._n_padded,
+                "mean_batch": round(n_req / n_bat, 2) if n_bat else 0.0,
+            }
+
+    def close(self) -> None:
+        self._closed = True
+        self._queue.put(None)
+        self._thread.join(timeout=10)
+
+    # -- dispatcher side ------------------------------------------------------
+
+    def _collect(self) -> Optional[list[_Item]]:
+        """Block for the first item, then gather until max_batch or the
+        delay window closes. Returns None on the shutdown sentinel."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        items = [first]
+        deadline = time.monotonic() + self._max_delay
+        while len(items) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:  # shutdown mid-collection: serve what we have
+                self._queue.put(None)
+                break
+            items.append(nxt)
+        return items
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            items = self._collect()
+            if items is None:
+                return
+            n = len(items)
+            # smallest standard bucket that fits; n itself if max_batch was
+            # configured beyond the largest bucket
+            bucket = next((b for b in BUCKETS if b >= n), n)
+            frames = np.zeros(
+                (bucket, *self._frame_size, 3), np.float32
+            )
+            for i, it in enumerate(items):
+                frames[i] = it.frame
+            try:
+                results = self._engine.fused_recognize_frames(
+                    frames, k=self._k, max_faces=self._max_faces
+                )
+                for it, res in zip(items, results):
+                    it.result = res
+            except BaseException as e:  # propagate to every waiter
+                for it in items:
+                    it.error = e
+            finally:
+                with self._stats_lock:
+                    self._n_requests += n
+                    self._n_batches += 1
+                    self._n_padded += bucket - n
+                for it in items:
+                    it.event.set()

@@ -422,6 +422,7 @@ def create_app(
     realtime=None,
     download_root: Optional[str] = None,
     max_body_bytes: int = 256 << 20,
+    batcher_opts: Optional[dict] = None,
 ) -> Callable:
     """Build the WSGI application. All collaborators are injectable for
     testing; defaults construct the standard stack lazily."""
@@ -430,8 +431,26 @@ def create_app(
     registry = registry or EngineRegistry()
     builder = builder or get_builder()
     download_root = os.path.abspath(download_root or builder.output_root)
-    state = {"realtime": realtime, "realtime_model": "arcface"}
+    state = {"realtime": realtime, "realtime_model": "arcface", "batchers": {}}
     state_lock = threading.Lock()
+
+    def get_batcher(model: str):
+        """Lazy per-model MicroBatcher for the /recognize serving API."""
+        with state_lock:
+            b = state["batchers"].get(model)
+            if b is None:
+                engine = registry.get(model)
+                if (
+                    engine is None
+                    or getattr(engine, "detector", None) is None
+                    or len(engine.gallery) == 0
+                ):
+                    return None
+                from facerecognition_tpu.apps.serving import MicroBatcher
+
+                b = MicroBatcher(engine, **(batcher_opts or {}))
+                state["batchers"][model] = b
+            return b
 
     def get_realtime():
         with state_lock:
@@ -785,6 +804,68 @@ def create_app(
                 },
             )
 
+        # -- high-QPS serving API: dynamic micro-batching ------------------
+        if path == "/recognize" and method == "POST":
+            # Concurrent requests coalesce into one fused detect→align→
+            # embed→match dispatch (apps/serving.MicroBatcher) — the
+            # production serving path; the HTML routes above stay
+            # request-at-a-time like the reference. Body: raw image bytes,
+            # or multipart field 'file'/'image'. Query: ?model=arcface.
+            from urllib.parse import parse_qs
+
+            q = parse_qs(environ.get("QUERY_STRING", ""))
+            model = (q.get("model") or ["arcface"])[0]
+            if model not in ("arcface", "facenet"):
+                return respond_json(
+                    start_response,
+                    {"error": f"model {model!r} does not support /recognize"},
+                    status="400 Bad Request",
+                )
+            ctype = environ.get("CONTENT_TYPE", "")
+            if ctype.startswith("multipart/"):
+                fields = _parse_multipart(environ)
+                files = [
+                    f
+                    for f in fields.get("file", []) + fields.get("image", [])
+                    if isinstance(f, dict)
+                ]
+                data = files[0]["data"] if files else b""
+            else:
+                data = environ["wsgi.input"].read(_content_length(environ))
+            image = _decode_image(data)
+            if image is None:
+                return respond_json(
+                    start_response,
+                    {"error": "no decodable image in request body"},
+                    status="400 Bad Request",
+                )
+            batcher = get_batcher(model)
+            if batcher is None:
+                return respond_json(
+                    start_response,
+                    {
+                        "error": f"model {model!r} not servable (needs a "
+                        "detector and an enrolled gallery)"
+                    },
+                    status="503 Service Unavailable",
+                )
+            try:
+                res = batcher.submit(image)
+            except Exception as exc:
+                return respond_json(
+                    start_response,
+                    {"error": f"recognition failed: {exc}"},
+                    status="500 Internal Server Error",
+                )
+            payload = {k: v for k, v in res.items() if k != "embedding"}
+            payload["faces"] = [
+                {k: v for k, v in f.items() if k != "embedding"}
+                for f in res.get("faces", [])
+            ]
+            payload["model"] = model
+            payload["batching"] = batcher.stats()
+            return respond_json(start_response, payload)
+
         # -- realtime -----------------------------------------------------
         if path == "/realtime":
             return respond_page(
@@ -945,6 +1026,14 @@ def main(argv: Optional[list[str]] = None):
         help="pre-build engines and jit-compile before serving "
         "(first-request latency otherwise pays model init + compile)",
     )
+    parser.add_argument(
+        "--threads",
+        type=int,
+        default=1,
+        help="serve with a threaded WSGI server (>1) so concurrent "
+        "/recognize requests coalesce into micro-batches; 1 = the "
+        "reference-style sequential server",
+    )
     args = parser.parse_args(argv)
     # The detector is first-class app wiring: without it recognize_all /
     # multi-face drawing / realtime fused serving / aligned Grad-CAM all
@@ -978,7 +1067,18 @@ def main(argv: Optional[list[str]] = None):
                     _np.zeros((1, size, size, 3), _np.float32)
                 )
                 print(f"warmed {m}")
-    server = make_server(args.host, args.port, app)
+    if args.threads > 1:
+        from socketserver import ThreadingMixIn
+        from wsgiref.simple_server import WSGIServer
+
+        class _ThreadedServer(ThreadingMixIn, WSGIServer):
+            daemon_threads = True
+
+        server = make_server(
+            args.host, args.port, app, server_class=_ThreadedServer
+        )
+    else:
+        server = make_server(args.host, args.port, app)
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()
 

@@ -719,3 +719,196 @@ class TestWebUI:
         html = render_template("index.html", threshold="0.7")
         assert "{{" not in html
         assert 'value="0.7"' in html
+
+
+# ---------------------------------------------------------------------------
+# Micro-batching serving layer (apps/serving.py + POST /recognize)
+# ---------------------------------------------------------------------------
+
+
+class FakeFusedEngine:
+    """Minimal engine surface the MicroBatcher / get_batcher consume."""
+
+    def __init__(self, delay=0.0, fail=False):
+        self.detector = object()
+        self.gallery = ["a", "b", "c"]  # len() > 0 is all that's checked
+        self.batch_sizes = []
+        self.delay = delay
+        self.fail = fail
+
+    def fused_recognize_frames(self, frames, k=5, max_faces=1):
+        if self.fail:
+            raise ValueError("boom")
+        if self.delay:
+            time.sleep(self.delay)
+        self.batch_sizes.append(len(frames))
+        out = []
+        for f in np.asarray(frames):
+            tag = int(f[0, 0, 0])
+            out.append(
+                {
+                    "identity": f"id{tag}",
+                    "confidence": 0.9,
+                    "top_k": [(f"id{tag}", 0.9)],
+                    "bbox": [0, 0, 4, 4],
+                    "status": "success",
+                    "embedding": np.zeros(4, np.float32),
+                    "faces": [
+                        {
+                            "identity": f"id{tag}",
+                            "confidence": 0.9,
+                            "top_k": [(f"id{tag}", 0.9)],
+                            "bbox": [0, 0, 4, 4],
+                            "det_score": 0.95,
+                            "embedding": np.zeros(4, np.float32),
+                        }
+                    ],
+                }
+            )
+        return out
+
+
+class TestMicroBatcher:
+    def _frames(self, n, size=8):
+        # index encoded in pixel [0,0,0] so routing is verifiable
+        return [
+            np.full((size, size, 3), i, np.uint8) for i in range(n)
+        ]
+
+    def test_coalesces_and_routes_concurrent_requests(self):
+        import threading as th
+
+        from facerecognition_tpu.apps.serving import MicroBatcher
+
+        eng = FakeFusedEngine(delay=0.05)
+        mb = MicroBatcher(eng, frame_size=(8, 8), max_delay_ms=40.0)
+        try:
+            results = [None] * 16
+            frames = self._frames(16)
+            barrier = th.Barrier(16)
+
+            def worker(i):
+                barrier.wait()
+                results[i] = mb.submit(frames[i])
+
+            threads = [th.Thread(target=worker, args=(i,)) for i in range(16)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+            for i, r in enumerate(results):
+                assert r is not None and r["identity"] == f"id{i}", (i, r)
+            s = mb.stats()
+            assert s["requests"] == 16
+            # 16 near-simultaneous submits against a 50ms dispatch + 40ms
+            # window must coalesce well below one-dispatch-per-request
+            assert s["batches"] <= 8, s
+        finally:
+            mb.close()
+
+    def test_pads_to_standard_buckets(self):
+        from facerecognition_tpu.apps.serving import BUCKETS, MicroBatcher
+
+        eng = FakeFusedEngine()
+        mb = MicroBatcher(eng, frame_size=(8, 8), max_delay_ms=1.0)
+        try:
+            for f in self._frames(3):
+                mb.submit(f)
+        finally:
+            mb.close()
+        assert eng.batch_sizes and all(
+            b in BUCKETS for b in eng.batch_sizes
+        ), eng.batch_sizes
+
+    def test_resizes_to_frame_size(self):
+        from facerecognition_tpu.apps.serving import MicroBatcher
+
+        eng = FakeFusedEngine()
+        mb = MicroBatcher(eng, frame_size=(8, 8), max_delay_ms=1.0)
+        try:
+            r = mb.submit(np.full((20, 30, 3), 5, np.uint8))
+            assert r["identity"] == "id5"  # constant image survives resize
+        finally:
+            mb.close()
+
+    def test_error_propagates_and_batcher_survives(self):
+        from facerecognition_tpu.apps.serving import MicroBatcher
+
+        eng = FakeFusedEngine(fail=True)
+        mb = MicroBatcher(eng, frame_size=(8, 8), max_delay_ms=1.0)
+        try:
+            with pytest.raises(ValueError, match="boom"):
+                mb.submit(self._frames(1)[0])
+            eng.fail = False
+            assert mb.submit(self._frames(1)[0])["identity"] == "id0"
+        finally:
+            mb.close()
+
+    def test_rejects_bad_shapes_and_closed(self):
+        from facerecognition_tpu.apps.serving import MicroBatcher
+
+        mb = MicroBatcher(FakeFusedEngine(), frame_size=(8, 8))
+        try:
+            with pytest.raises(ValueError):
+                mb.submit(np.zeros((8, 8), np.uint8))
+        finally:
+            mb.close()
+        with pytest.raises(RuntimeError):
+            mb.submit(np.zeros((8, 8, 3), np.uint8))
+
+
+class TestRecognizeRoute:
+    def _app_with_fused(self):
+        from facerecognition_tpu.apps.web_app import EngineRegistry, create_app
+
+        registry = EngineRegistry()
+        eng = FakeFusedEngine()
+        registry._engines["arcface"] = eng
+        registry._engines["facenet"] = None
+        registry._engines["lbph"] = None
+        app = create_app(
+            registry, batcher_opts={"frame_size": (8, 8), "max_delay_ms": 1.0}
+        )
+        return app, eng
+
+    def test_recognize_route_roundtrip_raw_body(self, rng):
+        app, eng = self._app_with_fused()
+        _, png = png_bytes(rng, size=16)
+        status, headers, data = Client(app).request(
+            "POST", "/recognize", body=png, content_type="image/png"
+        )
+        assert status == "200 OK", data
+        payload = json.loads(data)
+        assert payload["status"] == "success"
+        assert payload["model"] == "arcface"
+        assert payload["identity"].startswith("id")
+        assert "embedding" not in payload
+        assert all("embedding" not in f for f in payload["faces"])
+        assert payload["batching"]["requests"] >= 1
+
+    def test_recognize_route_multipart(self, rng):
+        app, eng = self._app_with_fused()
+        _, png = png_bytes(rng, size=16)
+        status, payload = Client(app).post_multipart(
+            "/recognize", [("file", ("f.png", png))]
+        )
+        assert status == "200 OK"
+        assert payload["status"] == "success"
+
+    def test_recognize_route_bad_body_400(self):
+        app, eng = self._app_with_fused()
+        status, _, data = Client(app).request(
+            "POST", "/recognize", body=b"not an image",
+            content_type="application/octet-stream",
+        )
+        assert status.startswith("400")
+
+    def test_recognize_route_503_when_not_servable(self, app_and_registry, rng):
+        # the module fixture's engine has no detector -> degrade, not crash
+        app, *_ = app_and_registry
+        _, png = png_bytes(rng, size=16)
+        status, _, data = Client(app).request(
+            "POST", "/recognize", body=png, content_type="image/png"
+        )
+        assert status.startswith("503")
+        assert b"not servable" in data
