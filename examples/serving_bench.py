@@ -1,0 +1,135 @@
+"""Load-test the micro-batching serving API end to end over HTTP.
+
+Starts the threaded WSGI app in-process (real engines: shipped detector +
+ArcFace weights, synthetic gallery), fires concurrent clients at
+``POST /recognize``, and reports throughput, latency percentiles, and the
+batcher's coalescing stats. The reference stack has no serving benchmark at
+all (its Flask app recognizes one upload per request, web_app.py:492-701);
+this measures the production question it can't answer: what happens to
+latency when N clients arrive at once.
+
+Run: PYTHONPATH=/root/repo python examples/serving_bench.py \
+        [--clients 32] [--requests 256] [--frame 256]
+"""
+
+import argparse
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--requests", type=int, default=256)
+    ap.add_argument("--frame", type=int, default=256)
+    ap.add_argument("--port", type=int, default=8123)
+    ap.add_argument("--gallery", type=int, default=1000)
+    ap.add_argument("--max-delay-ms", type=float, default=5.0)
+    args = ap.parse_args()
+
+    from facerecognition_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from facerecognition_tpu.apps.web_app import EngineRegistry, create_app
+    from facerecognition_tpu.preprocessing.face_detector import FaceDetector
+
+    registry = EngineRegistry(detector=FaceDetector(confidence_threshold=0.3))
+    engine = registry.get("arcface")
+    rng = np.random.default_rng(0)
+    gal = rng.normal(size=(args.gallery, 512)).astype(np.float32)
+    engine.gallery.add_many(
+        [f"id_{i}" for i in range(args.gallery)], gal
+    )
+    app = create_app(
+        registry,
+        batcher_opts={
+            "frame_size": (args.frame, args.frame),
+            "max_delay_ms": args.max_delay_ms,
+        },
+    )
+
+    from socketserver import ThreadingMixIn
+    from wsgiref.simple_server import WSGIServer, make_server
+
+    class _Srv(ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    server = make_server("127.0.0.1", args.port, app, server_class=_Srv)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{args.port}/recognize"
+
+    # One rendered face scene as the upload (JPEG-encoded once, shared).
+    from PIL import Image
+
+    from facerecognition_tpu.training.synthetic_faces import scene_batch
+
+    frames, _, _, _ = scene_batch(rng, 1, args.frame, max_faces=1, p_face=1.0)
+    buf = io.BytesIO()
+    Image.fromarray(frames[0].astype(np.uint8)).save(buf, format="JPEG", quality=90)
+    payload = buf.getvalue()
+
+    def post():
+        req = urllib.request.Request(
+            url, data=payload, headers={"Content-Type": "image/jpeg"}
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    print("warmup (compiles the fused graph)...", flush=True)
+    warm = post()
+    print(f"warmup ok: identity={warm['identity']!r}", flush=True)
+
+    latencies = []
+    lat_lock = threading.Lock()
+    n_total = args.requests
+    counter = {"left": n_total}
+
+    def client():
+        while True:
+            with lat_lock:
+                if counter["left"] <= 0:
+                    return
+                counter["left"] -= 1
+            t0 = time.perf_counter()
+            res = post()
+            dt = time.perf_counter() - t0
+            with lat_lock:
+                latencies.append(dt)
+            assert res["status"] == "success"
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client) for _ in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stats = post()["batching"]  # final coalescing counters
+    server.shutdown()
+
+    lat = np.sort(np.asarray(latencies)) * 1000
+    print(
+        json.dumps(
+            {
+                "requests": n_total,
+                "clients": args.clients,
+                "throughput_rps": round(n_total / wall, 1),
+                "p50_ms": round(float(lat[len(lat) // 2]), 1),
+                "p99_ms": round(float(lat[min(int(len(lat) * 0.99), len(lat) - 1)]), 1),
+                "mean_batch": stats["mean_batch"],
+                "batches": stats["batches"],
+                "frame": args.frame,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
