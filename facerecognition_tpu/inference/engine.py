@@ -400,6 +400,9 @@ class RecognitionEngine:
         size = self.embedder.config.input_size
         h, w = frame_shape
         det_size = det.input_size
+        use_int8 = self.match_kernel == "int8"
+        if use_int8:
+            from facerecognition_tpu.ops.matcher import cosine_topk_int8
 
         @functools.partial(jax.jit, static_argnums=())
         def fused(det_vars, emb_vars, gallery, frames):
@@ -436,7 +439,12 @@ class RecognitionEngine:
                 jnp.linalg.norm(emb.astype(jnp.float32), axis=1, keepdims=True),
                 1e-12,
             )
-            scores, idx = auto_cosine_topk(emb, gallery, k, normalized=True)
+            if use_int8:
+                # capacity path: gallery is the (codes, scales) pair —
+                # matches the staged match() under match_kernel='int8'
+                scores, idx = cosine_topk_int8(emb, gallery[0], gallery[1], k)
+            else:
+                scores, idx = auto_cosine_topk(emb, gallery, k, normalized=True)
             return (
                 scores.reshape(bsz, max_faces, -1),
                 idx.reshape(bsz, max_faces, -1),
@@ -470,6 +478,7 @@ class RecognitionEngine:
             frames.shape[2],
             min(k, len(self.gallery)),
             max_faces,
+            self.match_kernel,
         )
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
@@ -477,10 +486,15 @@ class RecognitionEngine:
         if key not in cache:
             cache[key] = self._build_fused(frames.shape[1:3], key[2], max_faces)
         fused = cache[key]
+        gal = (
+            self.gallery.quantized()
+            if self.match_kernel == "int8"
+            else self.gallery.matrix
+        )
         scores, idx, det_scores, boxes, valid, emb = fused(
             self.detector.variables,
             self.embedder.variables,
-            self.gallery.matrix,
+            gal,
             jnp.asarray(frames),
         )
         scores = np.asarray(scores)

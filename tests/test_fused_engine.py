@@ -207,3 +207,42 @@ class TestFusedPipeline:
         bare.detector = detector
         with pytest.raises(ValueError, match="gallery"):
             bare.fused_recognize_frames(frames)
+
+
+@pytest.mark.slow
+class TestFusedInt8Kernel:
+    def test_fused_int8_matches_dense_top1(self, rng):
+        """match_kernel='int8' must flow through the FUSED graph too (the
+        capacity serving path), agreeing with dense on identity and within
+        quantization error on score."""
+        from tests.test_engine import SmallEmbedder
+
+        variables, _ = train_detector_synthetic(
+            DetectorTrainConfig(
+                input_size=64, batch_size=16, steps=200, lr=2e-3
+            ),
+            log_every=200,
+        )
+        detector = FaceDetector(
+            input_size=64, weights=variables,
+            confidence_threshold=0.3, min_face_size=4,
+        )
+        embedder = SmallEmbedder()
+        dense_eng = RecognitionEngine(
+            embedder=embedder, detector=detector, threshold=0.2
+        )
+        imgs, *_ = synthetic_face_batch(rng, 4, 96, p_face=1.0)
+        for i in range(4):
+            dense_eng.add_to_db(f"p{i}", [imgs[i].astype(np.uint8)])
+        int8_eng = RecognitionEngine(
+            embedder=embedder, detector=detector, threshold=0.2,
+            match_kernel="int8",
+        )
+        int8_eng.gallery = dense_eng.gallery
+        dense = dense_eng.fused_recognize_frames(imgs, k=3)
+        quant = int8_eng.fused_recognize_frames(imgs, k=3)
+        assert any(r["identity"] != "No face" for r in dense)
+        for a, b in zip(dense, quant):
+            assert a["identity"] == b["identity"]
+            if a["identity"] not in ("No face",):
+                assert abs(a["confidence"] - b["confidence"]) < 2e-2
