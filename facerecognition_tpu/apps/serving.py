@@ -52,6 +52,9 @@ class MicroBatcher:
       max_batch: hard cap per dispatch (also the largest pad bucket used).
       max_delay_ms: how long the first request in a batch may wait for
         company before the dispatch launches anyway.
+      request_timeout: default ``submit`` wait in seconds. Generous by
+        default: the first dispatch of each bucket size pays an XLA
+        compile, which runs minutes for the full pipeline on TPU.
     """
 
     def __init__(
@@ -62,6 +65,7 @@ class MicroBatcher:
         max_faces: int = 1,
         max_batch: int = 128,
         max_delay_ms: float = 5.0,
+        request_timeout: float = 600.0,
     ):
         self._engine = engine
         self._frame_size = tuple(frame_size)
@@ -69,7 +73,9 @@ class MicroBatcher:
         self._max_faces = max_faces
         self._max_batch = int(max_batch)
         self._max_delay = max_delay_ms / 1000.0
+        self._request_timeout = request_timeout
         self._queue: "queue.Queue[Optional[_Item]]" = queue.Queue()
+        self._lifecycle_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._n_requests = 0
         self._n_batches = 0
@@ -82,29 +88,46 @@ class MicroBatcher:
 
     # -- request side --------------------------------------------------------
 
-    def submit(self, frame: np.ndarray, timeout: float = 60.0) -> dict:
+    def submit(
+        self, frame: np.ndarray, timeout: Optional[float] = None
+    ) -> dict:
         """Recognize one frame; blocks until its batch returns.
 
         Thread-safe; raises whatever the fused dispatch raised, or
-        ``TimeoutError`` if the batch did not complete in ``timeout`` s.
+        ``TimeoutError`` if the batch did not complete in ``timeout``
+        (default: the constructor's ``request_timeout``) seconds.
+
+        Frames are interpreted on the package-wide [0, 255] intensity
+        convention and carried as uint8 (floats are clipped and rounded —
+        the smaller dtype matters: the axon TPU plugin leaks every
+        host→device transfer in host RSS, so a long-running server must
+        stream the smallest representation).
         """
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         frame = np.asarray(frame)
         if frame.ndim != 3 or frame.shape[2] != 3:
             raise ValueError(f"expected (H, W, 3) frame, got {frame.shape}")
+        if frame.dtype != np.uint8:
+            frame = np.clip(np.rint(frame), 0, 255).astype(np.uint8)
         if frame.shape[:2] != self._frame_size:
             import cv2
 
             frame = cv2.resize(
-                frame.astype(np.uint8),
+                frame,
                 (self._frame_size[1], self._frame_size[0]),
                 interpolation=cv2.INTER_LINEAR,
             )
-        item = _Item(frame.astype(np.float32))
-        self._queue.put(item)
-        if not item.event.wait(timeout):
-            raise TimeoutError(f"recognition batch not ready in {timeout}s")
+        item = _Item(frame)
+        # Enqueue under the lifecycle lock: a submit that slipped past a
+        # concurrent close() would otherwise wait out its full timeout on a
+        # queue no dispatcher reads.
+        with self._lifecycle_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.put(item)
+        if not item.event.wait(
+            self._request_timeout if timeout is None else timeout
+        ):
+            raise TimeoutError("recognition batch not ready in time")
         if item.error is not None:
             raise item.error
         return item.result
@@ -120,8 +143,11 @@ class MicroBatcher:
             }
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)
+        with self._lifecycle_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # FIFO: queued requests drain first
         self._thread.join(timeout=10)
 
     # -- dispatcher side ------------------------------------------------------
@@ -157,9 +183,7 @@ class MicroBatcher:
             # smallest standard bucket that fits; n itself if max_batch was
             # configured beyond the largest bucket
             bucket = next((b for b in BUCKETS if b >= n), n)
-            frames = np.zeros(
-                (bucket, *self._frame_size, 3), np.float32
-            )
+            frames = np.zeros((bucket, *self._frame_size, 3), np.uint8)
             for i, it in enumerate(items):
                 frames[i] = it.frame
             try:

@@ -435,19 +435,27 @@ def create_app(
     state_lock = threading.Lock()
 
     def get_batcher(model: str):
-        """Lazy per-model MicroBatcher for the /recognize serving API."""
+        """Lazy per-model MicroBatcher for the /recognize serving API.
+
+        Engine construction (checkpoint load, seconds) runs OUTSIDE
+        state_lock — registry.get has its own lock — so first-touch builds
+        don't stall every other route; double-checked store keeps one
+        batcher per model."""
+        b = state["batchers"].get(model)
+        if b is not None:
+            return b
+        engine = registry.get(model)
+        if (
+            engine is None
+            or getattr(engine, "detector", None) is None
+            or len(engine.gallery) == 0
+        ):
+            return None
+        from facerecognition_tpu.apps.serving import MicroBatcher
+
         with state_lock:
             b = state["batchers"].get(model)
             if b is None:
-                engine = registry.get(model)
-                if (
-                    engine is None
-                    or getattr(engine, "detector", None) is None
-                    or len(engine.gallery) == 0
-                ):
-                    return None
-                from facerecognition_tpu.apps.serving import MicroBatcher
-
                 b = MicroBatcher(engine, **(batcher_opts or {}))
                 state["batchers"][model] = b
             return b
@@ -1066,6 +1074,17 @@ def main(argv: Optional[list[str]] = None):
                 eng.embedder.embed_uint8(
                     _np.zeros((1, size, size, 3), _np.float32)
                 )
+                # Pre-compile the fused /recognize graphs for the small
+                # buckets too (a cold fused compile runs minutes on TPU and
+                # would eat the first requests' timeout budget). Needs an
+                # enrolled gallery — matmul shape depends on it.
+                if eng.detector is not None and len(eng.gallery) > 0:
+                    for bucket in (1, 8):
+                        eng.fused_recognize_frames(
+                            _np.zeros((bucket, 256, 256, 3), _np.uint8), k=5
+                        )
+                    print(f"warmed {m} (incl. fused serving buckets 1/8)")
+                    continue
                 print(f"warmed {m}")
     if args.threads > 1:
         from socketserver import ThreadingMixIn

@@ -407,6 +407,10 @@ class RecognitionEngine:
         @functools.partial(jax.jit, static_argnums=())
         def fused(det_vars, emb_vars, gallery, frames):
             bsz = frames.shape[0]
+            # Cast on DEVICE: callers ship uint8 frames (4x less host→device
+            # traffic — the axon plugin leaks every transfer in host RSS, so
+            # a long-running server must stream the smallest dtype).
+            frames = frames.astype(jnp.float32)
             small = bilinear_resize_mxu_batch(frames, det_size, det_size, True)
             raw = det.net.apply(det_vars, small / 127.5 - 1.0)
             if max_faces == 1:
@@ -444,7 +448,10 @@ class RecognitionEngine:
                 # matches the staged match() under match_kernel='int8'
                 scores, idx = cosine_topk_int8(emb, gallery[0], gallery[1], k)
             else:
-                scores, idx = auto_cosine_topk(emb, gallery, k, normalized=True)
+                # honor an explicit dense/pallas choice like staged match()
+                scores, idx = auto_cosine_topk(
+                    emb, gallery, k, normalized=True, kernel=self.match_kernel
+                )
             return (
                 scores.reshape(bsz, max_faces, -1),
                 idx.reshape(bsz, max_faces, -1),
@@ -472,7 +479,12 @@ class RecognitionEngine:
             raise ValueError("fused path needs a detector")
         if len(self.gallery) == 0:
             raise ValueError("fused path needs a non-empty gallery")
-        frames = np.asarray(frames, np.float32)
+        # Keep uint8 frames uint8: the device graph casts to f32 on-chip,
+        # and shipping the smaller dtype matters on this backend (the axon
+        # plugin leaks every host→device transfer in host RSS — CLAUDE.md).
+        frames = np.asarray(frames)
+        if frames.dtype != np.uint8:
+            frames = frames.astype(np.float32)
         key = (
             frames.shape[1],
             frames.shape[2],

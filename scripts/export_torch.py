@@ -29,25 +29,40 @@ def main():
     )
     args = ap.parse_args()
 
+    # Host-side conversion job — never claim (or block on) the TPU for it.
+    # The env var alone doesn't stick here (axon sitecustomize); the config
+    # update after import does.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from facerecognition_tpu.models.port_torch import (
         export_arcface_state_dict,
         export_facenet_state_dict,
         save_torch_checkpoint,
     )
-    from facerecognition_tpu.utils.serialization import load_variables
 
-    variables = dict(load_variables(args.ckpt))
-    stages = variables.pop("stage_sizes", None)
     if args.model == "arcface":
+        # Single source of truth for the stage_sizes arch marker (CLAUDE.md:
+        # always load serving ckpts via load_arcface_checkpoint).
+        from facerecognition_tpu.inference.extract_embeddings import (
+            load_arcface_checkpoint,
+        )
+
+        model, variables = load_arcface_checkpoint(args.ckpt)
         sd = export_arcface_state_dict(variables)
-        if stages is not None and tuple(int(s) for s in stages) != (3, 4, 6, 3):
+        if tuple(model.stage_sizes) != (3, 4, 6, 3):
             print(
-                f"note: non-standard backbone depth {list(stages)} — "
-                "the reference's torchvision resnet50 cannot load this; "
+                f"note: non-standard backbone depth {list(model.stage_sizes)}"
+                " — the reference's torchvision resnet50 cannot load this; "
                 "use a matching custom torch backbone"
             )
     else:
-        sd = export_facenet_state_dict(variables, prefix=args.prefix)
+        from facerecognition_tpu.utils.serialization import load_variables
+
+        sd = export_facenet_state_dict(
+            dict(load_variables(args.ckpt)), prefix=args.prefix
+        )
     save_torch_checkpoint(args.out, sd)
     print(f"exported {args.ckpt} -> {args.out} ({len(sd)} tensors)")
 
