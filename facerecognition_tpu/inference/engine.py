@@ -48,6 +48,8 @@ class Gallery:
         self._store = np.zeros((0, dim), np.float32)  # capacity >= len(names)
         self._device_matrix: Optional[jax.Array] = None
         self._device_quant: Optional[tuple[jax.Array, jax.Array]] = None
+        self._device_store: Optional[jax.Array] = None
+        self._device_qstore: Optional[tuple[jax.Array, jax.Array]] = None
 
     def __len__(self) -> int:
         return len(self.names)
@@ -82,6 +84,38 @@ class Gallery:
             self._device_quant = (jnp.asarray(q), jnp.asarray(scale))
         return self._device_quant
 
+    def device_store(self) -> tuple[jax.Array, int]:
+        """(capacity-padded device matrix, live row count).
+
+        Unlike :attr:`matrix` (exact N), the padded store's SHAPE changes
+        only when capacity grows (geometric doubling in ``_reserve``), so a
+        compiled match graph survives enrollment instead of recompiling per
+        ``add`` — pass the count as the dynamic ``n_valid`` mask of
+        ``ops.matcher.cosine_topk``; padding/stale rows must never be
+        returned unmasked.
+        """
+        if self._device_store is None:
+            self._device_store = jnp.asarray(self._store)
+        return self._device_store, len(self.names)
+
+    def quantized_store(self) -> tuple[jax.Array, jax.Array, int]:
+        """int8 analogue of :func:`device_store`:
+        (padded codes, padded scales, live row count)."""
+        if self._device_qstore is None:
+            from facerecognition_tpu.ops.matcher import (
+                quantize_embeddings_int8_np,
+            )
+
+            q, scale = quantize_embeddings_int8_np(self._store)
+            self._device_qstore = (jnp.asarray(q), jnp.asarray(scale))
+        return (*self._device_qstore, len(self.names))
+
+    def _invalidate_device(self) -> None:
+        self._device_matrix = None
+        self._device_quant = None
+        self._device_store = None
+        self._device_qstore = None
+
     def _reserve(self, extra: int) -> None:
         need = len(self.names) + extra
         if need <= len(self._store):
@@ -108,8 +142,7 @@ class Gallery:
             self._index[name] = len(self.names)
             self._store[len(self.names)] = emb
             self.names.append(name)
-        self._device_matrix = None  # invalidate device copies
-        self._device_quant = None
+        self._invalidate_device()
 
     def add_many(self, names: Sequence[str], embeddings: np.ndarray) -> None:
         """Bulk enrollment: one vectorized normalize + one block write.
@@ -140,8 +173,7 @@ class Gallery:
             rows = np.fromiter(row_of_batch.keys(), np.int64)
             srcs = np.fromiter(row_of_batch.values(), np.int64)
             self._store[rows] = embs[srcs]
-        self._device_matrix = None
-        self._device_quant = None
+        self._invalidate_device()
 
     def remove(self, name: str) -> bool:
         idx = self._index.pop(name, None)
@@ -155,8 +187,7 @@ class Gallery:
             self.names[idx] = moved
             self._index[moved] = idx
         self.names.pop()
-        self._device_matrix = None
-        self._device_quant = None
+        self._invalidate_device()
         return True
 
     @classmethod
@@ -341,21 +372,57 @@ class RecognitionEngine:
         k_eff = min(k, len(self.gallery))
         # Gallery rows are unit-norm by construction (add/add_many);
         # normalize only the (small) query block and skip the (N, D) pass.
+        # Matching runs against the CAPACITY-PADDED store with a dynamic
+        # n_valid mask (Gallery.device_store), so enrollment growth reuses
+        # the compiled graph instead of recompiling per add; the explicit
+        # pallas kernel (mask-free) keeps the exact-N matrix.
         if self.match_kernel == "int8":
             from facerecognition_tpu.ops.matcher import cosine_topk_int8
 
-            gq, gs = self.gallery.quantized()
+            gq, gs, n_valid = self.gallery.quantized_store()
             scores, idx = cosine_topk_int8(
-                jnp.asarray(embeddings, jnp.float32), gq, gs, k_eff
+                jnp.asarray(embeddings, jnp.float32),
+                gq,
+                gs,
+                k_eff,
+                np.int32(n_valid),
             )
-        else:
+        elif self.match_kernel == "pallas":
             scores, idx = auto_cosine_topk(
                 l2_normalize(jnp.asarray(embeddings, jnp.float32)),
                 self.gallery.matrix,
                 k_eff,
                 normalized=True,
-                kernel=self.match_kernel,
+                kernel="pallas",
             )
+        else:
+            from facerecognition_tpu.ops.matcher import (
+                DENSE_SCORES_MAX_BYTES,
+                _array_platform,
+            )
+
+            gal, n_valid = self.gallery.device_store()
+            q = l2_normalize(jnp.asarray(embeddings, jnp.float32))
+            pressure = (
+                len(embeddings) * gal.shape[0] * 4 > DENSE_SCORES_MAX_BYTES
+                and _array_platform(gal) not in ("cpu",)
+            )
+            if self.match_kernel == "auto" and pressure:
+                # capacity regime: the streaming kernel (mask-free) on the
+                # exact-N matrix — enrollment churn is rare at this scale
+                scores, idx = auto_cosine_topk(
+                    q, self.gallery.matrix, k_eff,
+                    normalized=True, kernel="pallas",
+                )
+            else:
+                scores, idx = auto_cosine_topk(
+                    q,
+                    gal,
+                    k_eff,
+                    normalized=True,
+                    kernel=self.match_kernel,
+                    n_valid=np.int32(n_valid),
+                )
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         out = []
@@ -405,7 +472,7 @@ class RecognitionEngine:
             from facerecognition_tpu.ops.matcher import cosine_topk_int8
 
         @functools.partial(jax.jit, static_argnums=())
-        def fused(det_vars, emb_vars, gallery, frames):
+        def fused(det_vars, emb_vars, gallery, n_valid, frames):
             bsz = frames.shape[0]
             # Cast on DEVICE: callers ship uint8 frames (4x less host→device
             # traffic — the axon plugin leaks every transfer in host RSS, so
@@ -443,14 +510,23 @@ class RecognitionEngine:
                 jnp.linalg.norm(emb.astype(jnp.float32), axis=1, keepdims=True),
                 1e-12,
             )
+            # The gallery is the CAPACITY-PADDED store + dynamic n_valid
+            # mask (Gallery.device_store/quantized_store), so enrollment
+            # growth reuses this compiled graph; only the mask-free pallas
+            # kernel takes the exact-N matrix (n_valid is None then).
             if use_int8:
-                # capacity path: gallery is the (codes, scales) pair —
-                # matches the staged match() under match_kernel='int8'
-                scores, idx = cosine_topk_int8(emb, gallery[0], gallery[1], k)
+                scores, idx = cosine_topk_int8(
+                    emb, gallery[0], gallery[1], k, n_valid
+                )
             else:
                 # honor an explicit dense/pallas choice like staged match()
                 scores, idx = auto_cosine_topk(
-                    emb, gallery, k, normalized=True, kernel=self.match_kernel
+                    emb,
+                    gallery,
+                    k,
+                    normalized=True,
+                    kernel=self.match_kernel,
+                    n_valid=n_valid,
                 )
             return (
                 scores.reshape(bsz, max_faces, -1),
@@ -498,15 +574,19 @@ class RecognitionEngine:
         if key not in cache:
             cache[key] = self._build_fused(frames.shape[1:3], key[2], max_faces)
         fused = cache[key]
-        gal = (
-            self.gallery.quantized()
-            if self.match_kernel == "int8"
-            else self.gallery.matrix
-        )
+        if self.match_kernel == "int8":
+            gq, gs, n = self.gallery.quantized_store()
+            gal, n_valid = (gq, gs), np.int32(n)
+        elif self.match_kernel == "pallas":
+            gal, n_valid = self.gallery.matrix, None
+        else:
+            gal, n = self.gallery.device_store()
+            n_valid = np.int32(n)
         scores, idx, det_scores, boxes, valid, emb = fused(
             self.detector.variables,
             self.embedder.variables,
             gal,
+            n_valid,
             jnp.asarray(frames),
         )
         scores = np.asarray(scores)

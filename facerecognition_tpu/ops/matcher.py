@@ -49,6 +49,7 @@ def cosine_topk(
     gallery: jax.Array,
     k: int = 5,
     normalized: bool = False,
+    n_valid=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k cosine matches of each query against the gallery.
 
@@ -63,6 +64,12 @@ def cosine_topk(
         normalization passes — at 10k ids the per-call gallery normalize is
         ~0.9 ms/batch, half the match stage (scripts/profile_pipeline.py),
         because XLA does not hoist it out of serving scan loops.
+      n_valid: optional DYNAMIC count of live gallery rows. Rows >= n_valid
+        (capacity padding) are masked to -inf so they can never win — even
+        over negative matches — and changing n_valid never recompiles
+        (Gallery.device_store serves a capacity-padded matrix so that
+        enrollment growth keeps the compiled graph; callers must ensure
+        ``k <= n_valid``).
 
     Returns:
       (scores, indices): both (B, k); scores are cosine similarities sorted
@@ -76,6 +83,12 @@ def cosine_topk(
     scores = jnp.dot(
         q, g.T, preferred_element_type=jnp.float32
     )  # (B, N) — MXU
+    if n_valid is not None:
+        scores = jnp.where(
+            jnp.arange(scores.shape[1])[None, :] < n_valid,
+            scores,
+            -jnp.inf,
+        )
     return jax.lax.top_k(scores, k)
 
 
@@ -114,12 +127,18 @@ def auto_cosine_topk(
     k: int = 5,
     kernel: str = "auto",
     normalized: bool = False,
+    n_valid=None,
 ) -> tuple[jax.Array, jax.Array]:
     """cosine_topk that switches to the Pallas streaming kernel when the
     dense score matrix would pressure HBM (see ops/pallas_topk.py).
 
     ``kernel``: ``'auto'`` (memory-based switch, TPU-resident arrays only),
     ``'dense'``, or ``'pallas'`` to force a path explicitly.
+
+    ``n_valid`` (capacity-padding mask, see :func:`cosine_topk`) is a
+    dense-path feature: the streaming kernel has no mask support, so
+    ``'auto'`` with a mask stays dense and an explicit ``'pallas'`` with a
+    mask is rejected.
     """
     if kernel not in ("auto", "dense", "pallas"):
         raise ValueError(f"unknown kernel {kernel!r}")
@@ -128,14 +147,21 @@ def auto_cosine_topk(
         on_tpu = _array_platform(gallery) not in ("cpu",)
         kernel = (
             "pallas"
-            if on_tpu and scores_bytes > DENSE_SCORES_MAX_BYTES
+            if n_valid is None
+            and on_tpu
+            and scores_bytes > DENSE_SCORES_MAX_BYTES
             else "dense"
         )
     if kernel == "pallas":
+        if n_valid is not None:
+            raise ValueError(
+                "n_valid masking is not supported by the pallas kernel; "
+                "pass the exact-size gallery instead"
+            )
         from facerecognition_tpu.ops.pallas_topk import pallas_cosine_topk
 
         return pallas_cosine_topk(queries, gallery, k)
-    return cosine_topk(queries, gallery, k, normalized)
+    return cosine_topk(queries, gallery, k, normalized, n_valid)
 
 
 def quantize_embeddings_int8(x) -> tuple[jax.Array, jax.Array]:
@@ -181,6 +207,7 @@ def cosine_topk_int8(
     gallery_q: jax.Array,
     gallery_scale: jax.Array,
     k: int = 5,
+    n_valid=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k cosine matches against an int8-quantized gallery.
 
@@ -211,6 +238,12 @@ def cosine_topk_int8(
         * (q_scale[:, None] / 127.0)
         * (gallery_scale[None, :] / 127.0)
     )
+    if n_valid is not None:  # capacity-padding mask (see cosine_topk)
+        scores = jnp.where(
+            jnp.arange(scores.shape[1])[None, :] < n_valid,
+            scores,
+            -jnp.inf,
+        )
     return jax.lax.top_k(scores, k)
 
 

@@ -409,3 +409,63 @@ class TestEmbedderBuckets:
     def test_empty_batch(self, embedder):
         out = embedder.embed_uint8(np.zeros((0, 112, 112, 3), np.float32))
         assert out.shape == (0, 512)
+
+
+class TestPaddedStoreMatching:
+    def test_device_store_shape_stable_across_adds(self, rng):
+        from facerecognition_tpu.inference.engine import Gallery
+
+        g = Gallery(dim=8)
+        g.add_many([f"p{i}" for i in range(10)], rng.normal(size=(10, 8)))
+        mat, n = g.device_store()
+        assert n == 10 and mat.shape[0] >= 10
+        cap = mat.shape[0]
+        g.add("p_new", rng.normal(size=8))  # within capacity
+        mat2, n2 = g.device_store()
+        assert n2 == 11 and mat2.shape[0] == cap, (
+            "capacity add must not change the padded shape "
+            f"({mat2.shape[0]} vs {cap})"
+        )
+        q, s, nq = g.quantized_store()
+        assert nq == 11 and q.shape[0] == cap
+
+    def test_match_never_returns_padding_or_stale_rows(self, embedder, rng):
+        from facerecognition_tpu.inference.engine import RecognitionEngine
+
+        eng = RecognitionEngine(embedder=embedder, threshold=-2.0)
+        # negative-match regime: enroll embeddings anti-correlated with the
+        # query so zero padding rows (cosine 0) would win if unmasked
+        query = rng.normal(size=512).astype(np.float32)
+        query /= np.linalg.norm(query)
+        for i in range(3):
+            noise = rng.normal(size=512).astype(np.float32) * 0.05
+            eng.gallery.add(f"neg{i}", -query + noise)
+        matches = eng.match(query[None], k=3)
+        best_name, best_score, top = matches[0]
+        assert best_name.startswith("neg")
+        assert best_score < -0.5
+        assert all(n.startswith("neg") for n, _ in top)
+        # removal leaves a stale row in capacity; still never surfaced
+        eng.gallery.remove("neg1")
+        matches = eng.match(query[None], k=2)
+        assert all(n.startswith("neg") for n, _ in matches[0][2])
+
+    def test_match_int8_padded_parity(self, embedder, rng):
+        from facerecognition_tpu.inference.engine import RecognitionEngine
+
+        dense = RecognitionEngine(embedder=embedder, threshold=0.1)
+        quant = RecognitionEngine(
+            embedder=embedder, threshold=0.1, match_kernel="int8"
+        )
+        embs = rng.normal(size=(20, 512)).astype(np.float32)
+        names = [f"id{i}" for i in range(20)]
+        dense.gallery.add_many(names, embs)
+        quant.gallery.add_many(names, embs)
+        qs = embs[[3, 11]] + 0.01 * rng.normal(size=(2, 512)).astype(
+            np.float32
+        )
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+        md = dense.match(qs, k=3)
+        mq = quant.match(qs, k=3)
+        assert [m[0] for m in md] == ["id3", "id11"]
+        assert [m[0] for m in mq] == ["id3", "id11"]

@@ -136,3 +136,53 @@ def test_auto_cosine_topk_kernel_selection(rng, monkeypatch):
     monkeypatch.setattr(matcher, "_array_platform", lambda x: "tpu")
     matcher.auto_cosine_topk(q, g, 3)
     assert called.get("pallas")
+
+
+def test_n_valid_masks_capacity_padding(rng):
+    """Padding rows (zeros — cosine 0) must never beat real NEGATIVE
+    matches when n_valid masks them (the capacity-padded store contract)."""
+    import jax.numpy as jnp
+
+    from facerecognition_tpu.ops.matcher import cosine_topk
+
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    real = -q[:, :]  # 3 rows, each exactly anti-correlated with a query
+    padded = np.zeros((8, 16), np.float32)
+    padded[:3] = real
+    scores, idx = cosine_topk(
+        jnp.asarray(q), jnp.asarray(padded), 2, True, np.int32(3)
+    )
+    idx = np.asarray(idx)
+    assert (idx < 3).all(), f"padding row returned: {idx}"
+    # best match for query i is a real row with cosine <= some negative val
+    assert np.asarray(scores).max() < 0.5
+
+
+def test_n_valid_masks_int8_padding(rng):
+    import jax.numpy as jnp
+
+    from facerecognition_tpu.ops.matcher import (
+        cosine_topk_int8,
+        quantize_embeddings_int8_np,
+    )
+
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    padded = np.zeros((8, 16), np.float32)
+    padded[:2] = -q / np.linalg.norm(q, axis=1, keepdims=True)
+    gq, gs = quantize_embeddings_int8_np(padded)
+    _, idx = cosine_topk_int8(
+        jnp.asarray(q), jnp.asarray(gq), jnp.asarray(gs), 2, np.int32(2)
+    )
+    assert (np.asarray(idx) < 2).all()
+
+
+def test_auto_rejects_pallas_with_mask(rng):
+    import jax.numpy as jnp
+
+    from facerecognition_tpu.ops.matcher import auto_cosine_topk
+
+    q = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    with pytest.raises(ValueError, match="n_valid"):
+        auto_cosine_topk(q, g, 2, kernel="pallas", n_valid=np.int32(3))
