@@ -50,6 +50,12 @@ class Gallery:
         self._device_quant: Optional[tuple[jax.Array, jax.Array]] = None
         self._device_store: Optional[jax.Array] = None
         self._device_qstore: Optional[tuple[jax.Array, jax.Array]] = None
+        # Rows changed since each padded device cache was shipped — synced
+        # by an on-device scatter of just these rows (shipping the whole
+        # multi-GB store per enrollment would be slow AND leak host RSS on
+        # the axon backend, which never frees host→device staging buffers).
+        self._dirty_f32: set[int] = set()
+        self._dirty_q: set[int] = set()
 
     def __len__(self) -> int:
         return len(self.names)
@@ -96,25 +102,77 @@ class Gallery:
         """
         if self._device_store is None:
             self._device_store = jnp.asarray(self._store)
+            self._dirty_f32.clear()
+        elif self._dirty_f32:
+            rows = np.fromiter(self._dirty_f32, np.int64)
+            self._device_store = self._device_store.at[
+                jnp.asarray(rows)
+            ].set(jnp.asarray(self._store[rows]))
+            self._dirty_f32.clear()
         return self._device_store, len(self.names)
 
     def quantized_store(self) -> tuple[jax.Array, jax.Array, int]:
         """int8 analogue of :func:`device_store`:
         (padded codes, padded scales, live row count)."""
-        if self._device_qstore is None:
-            from facerecognition_tpu.ops.matcher import (
-                quantize_embeddings_int8_np,
-            )
+        from facerecognition_tpu.ops.matcher import (
+            quantize_embeddings_int8_np,
+        )
 
+        if self._device_qstore is None:
             q, scale = quantize_embeddings_int8_np(self._store)
             self._device_qstore = (jnp.asarray(q), jnp.asarray(scale))
+            self._dirty_q.clear()
+        elif self._dirty_q:
+            rows = np.fromiter(self._dirty_q, np.int64)
+            q, scale = quantize_embeddings_int8_np(self._store[rows])
+            codes, scales = self._device_qstore
+            ridx = jnp.asarray(rows)
+            self._device_qstore = (
+                codes.at[ridx].set(jnp.asarray(q)),
+                scales.at[ridx].set(jnp.asarray(scale)),
+            )
+            self._dirty_q.clear()
         return (*self._device_qstore, len(self.names))
 
-    def _invalidate_device(self) -> None:
+    def _invalidate_device(self, rows=None) -> None:
+        """Mark device caches stale.
+
+        ``rows``: the only store rows whose content changed (capacity and
+        dtype unchanged) — the padded store caches then sync by scattering
+        just those rows on next access. ``None`` = structural change
+        (capacity growth, load, materialize): drop everything. The exact-N
+        ``matrix``/``quantized`` caches always drop (their SHAPE tracks the
+        live count, so they re-ship regardless; callers that mutate should
+        prefer the padded stores).
+        """
         self._device_matrix = None
         self._device_quant = None
-        self._device_store = None
-        self._device_qstore = None
+        incremental = (
+            rows is not None
+            and self._device_store is not None
+            and self._device_store.shape[0] == len(self._store)
+        )
+        # A huge dirty set loses to one bulk re-ship; 10% of capacity is
+        # past the break-even for scattered row updates.
+        if incremental and len(self._dirty_f32) + len(rows) <= max(
+            1024, len(self._store) // 10
+        ):
+            self._dirty_f32.update(rows)
+        else:
+            self._device_store = None
+            self._dirty_f32.clear()
+        incremental_q = (
+            rows is not None
+            and self._device_qstore is not None
+            and self._device_qstore[0].shape[0] == len(self._store)
+        )
+        if incremental_q and len(self._dirty_q) + len(rows) <= max(
+            1024, len(self._store) // 10
+        ):
+            self._dirty_q.update(rows)
+        else:
+            self._device_qstore = None
+            self._dirty_q.clear()
 
     def _reserve(self, extra: int) -> None:
         need = len(self.names) + extra
@@ -137,12 +195,14 @@ class Gallery:
         idx = self._index.get(name)
         if idx is not None:
             self._store[idx] = emb
+            row = idx
         else:
             self._reserve(1)
-            self._index[name] = len(self.names)
-            self._store[len(self.names)] = emb
+            row = len(self.names)
+            self._index[name] = row
+            self._store[row] = emb
             self.names.append(name)
-        self._invalidate_device()
+        self._invalidate_device(rows=(row,))
 
     def add_many(self, names: Sequence[str], embeddings: np.ndarray) -> None:
         """Bulk enrollment: one vectorized normalize + one block write.
@@ -173,7 +233,7 @@ class Gallery:
             rows = np.fromiter(row_of_batch.keys(), np.int64)
             srcs = np.fromiter(row_of_batch.values(), np.int64)
             self._store[rows] = embs[srcs]
-        self._invalidate_device()
+        self._invalidate_device(rows=row_of_batch.keys())
 
     def remove(self, name: str) -> bool:
         idx = self._index.pop(name, None)
@@ -186,8 +246,11 @@ class Gallery:
             moved = self.names[last]
             self.names[idx] = moved
             self._index[moved] = idx
+            changed = (idx,)
+        else:
+            changed = ()  # count-only change; padded rows untouched
         self.names.pop()
-        self._invalidate_device()
+        self._invalidate_device(rows=changed)
         return True
 
     @classmethod

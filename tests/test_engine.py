@@ -469,3 +469,42 @@ class TestPaddedStoreMatching:
         mq = quant.match(qs, k=3)
         assert [m[0] for m in md] == ["id3", "id11"]
         assert [m[0] for m in mq] == ["id3", "id11"]
+
+    def test_incremental_device_sync_matches_host(self, rng):
+        """After the padded store is shipped, adds/updates/removes sync by
+        scattering only the dirty rows — device content must equal host."""
+        from facerecognition_tpu.inference.engine import Gallery
+
+        g = Gallery(dim=8)
+        g.add_many([f"p{i}" for i in range(10)], rng.normal(size=(10, 8)))
+        mat0, _ = g.device_store()
+        q0, s0, _ = g.quantized_store()
+        # in-capacity add, overwrite of an existing name, swap-remove
+        g.add("p_new", rng.normal(size=8))
+        g.add("p3", rng.normal(size=8))
+        g.remove("p1")
+        mat1, n1 = g.device_store()
+        q1, s1, n1q = g.quantized_store()
+        assert n1 == n1q == 10
+        assert mat1.shape == mat0.shape  # same compiled-shape object class
+        np.testing.assert_allclose(
+            np.asarray(mat1)[:n1], g._store[:n1], rtol=0, atol=0
+        )
+        from facerecognition_tpu.ops.matcher import (
+            quantize_embeddings_int8_np,
+        )
+
+        qh, sh = quantize_embeddings_int8_np(g._store)
+        np.testing.assert_array_equal(np.asarray(q1)[:n1], qh[:n1])
+        np.testing.assert_allclose(np.asarray(s1)[:n1], sh[:n1], atol=1e-7)
+
+    def test_capacity_growth_reships_store(self, rng):
+        from facerecognition_tpu.inference.engine import Gallery
+
+        g = Gallery(dim=8)
+        g.add_many([f"p{i}" for i in range(64)], rng.normal(size=(64, 8)))
+        mat0, _ = g.device_store()
+        g.add("overflow", rng.normal(size=8))  # forces capacity doubling
+        mat1, n = g.device_store()
+        assert n == 65 and mat1.shape[0] > mat0.shape[0]
+        np.testing.assert_allclose(np.asarray(mat1)[:65], g._store[:65])
