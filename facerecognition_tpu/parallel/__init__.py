@@ -11,6 +11,10 @@ from facerecognition_tpu.parallel.mesh import (
     local_mesh,
     resolve_data_mesh,
 )
+from facerecognition_tpu.parallel.multihost import (
+    create_hybrid_mesh,
+    initialize_multihost,
+)
 from facerecognition_tpu.parallel.sharding import (
     ShardedGallery,
     replicate,
@@ -20,7 +24,9 @@ from facerecognition_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "create_hybrid_mesh",
     "create_mesh",
+    "initialize_multihost",
     "local_mesh",
     "resolve_data_mesh",
     "ShardedGallery",
