@@ -874,6 +874,33 @@ def create_app(
             payload["batching"] = batcher.stats()
             return respond_json(start_response, payload)
 
+        # -- serving introspection ------------------------------------------
+        if path in ("/stats", "/healthz") and method == "GET":
+            import jax as _jax
+
+            payload = {
+                "status": "ok",
+                "platform": _jax.devices()[0].platform,
+                "models": {},
+            }
+            # loaded engines only — never trigger a build from a health poll
+            for m, eng in list(registry._engines.items()):
+                if eng is None or not hasattr(eng, "gallery"):
+                    payload["models"][m] = {"loaded": eng is not None}
+                    continue
+                info = {
+                    "loaded": True,
+                    "gallery_size": len(eng.gallery),
+                    "threshold": eng.threshold,
+                    "match_kernel": getattr(eng, "match_kernel", None),
+                }
+                with state_lock:
+                    b = state["batchers"].get(m)
+                if b is not None:
+                    info["batching"] = b.stats()
+                payload["models"][m] = info
+            return respond_json(start_response, payload)
+
         # -- realtime -----------------------------------------------------
         if path == "/realtime":
             return respond_page(

@@ -912,3 +912,34 @@ class TestRecognizeRoute:
         )
         assert status.startswith("503")
         assert b"not servable" in data
+
+
+class TestStatsRoute:
+    def test_stats_reports_models_without_building(self, app_and_registry):
+        app, registry, engine, _ = app_and_registry
+        status, payload = Client(app).get_json("/stats")
+        assert status == "200 OK"
+        assert payload["status"] == "ok"
+        assert payload["models"]["arcface"]["loaded"] is True
+        assert payload["models"]["arcface"]["gallery_size"] == len(
+            engine.gallery
+        )
+        assert payload["models"]["facenet"] == {"loaded": False}
+
+    def test_healthz_alias_and_batching_stats(self, rng):
+        from facerecognition_tpu.apps.web_app import EngineRegistry, create_app
+
+        registry = EngineRegistry()
+        eng = FakeFusedEngine()
+        eng.threshold = 0.5
+        registry._engines["arcface"] = eng
+        app = create_app(
+            registry, batcher_opts={"frame_size": (8, 8), "max_delay_ms": 1.0}
+        )
+        _, png = png_bytes(rng, size=16)
+        Client(app).request(
+            "POST", "/recognize", body=png, content_type="image/png"
+        )
+        status, payload = Client(app).get_json("/healthz")
+        assert status == "200 OK"
+        assert payload["models"]["arcface"]["batching"]["requests"] >= 1
