@@ -22,7 +22,7 @@ sys.path.insert(0, _REPO)
 
 import numpy as np
 
-REAL_PHOTO = "/root/reference/uploads/anh1.jpg"
+REAL_PHOTO = os.environ.get("VERIFY_PHOTO", "/root/reference/uploads/anh1.jpg")
 T0 = time.time()
 
 
@@ -60,7 +60,7 @@ def main():
     else:  # dataset-free fallback: a rendered face scene
         from facerecognition_tpu.training.synthetic_faces import render_scene
 
-        photo, _ = render_scene(np.random.default_rng(0), size=640)
+        photo = render_scene(np.random.default_rng(0), size=640, p_face=1.0)[0]
         log("real photo absent; using a rendered scene")
     face = det.detect(photo)
     assert face is not None, "no face detected"
