@@ -17,6 +17,7 @@ import io
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -30,6 +31,9 @@ def main():
     ap.add_argument("--port", type=int, default=8123)
     ap.add_argument("--gallery", type=int, default=1000)
     ap.add_argument("--max-delay-ms", type=float, default=5.0)
+    ap.add_argument("--max-queue", type=int, default=1024,
+                    help="MicroBatcher pending cap; small values provoke "
+                    "429 load shedding under the client burst")
     args = ap.parse_args()
 
     from facerecognition_tpu.utils.compile_cache import enable_compile_cache
@@ -51,6 +55,7 @@ def main():
         batcher_opts={
             "frame_size": (args.frame, args.frame),
             "max_delay_ms": args.max_delay_ms,
+            "max_queue": args.max_queue,
         },
     )
 
@@ -107,6 +112,7 @@ def main():
 
     latencies = []
     failures = [0]
+    shed = [0]
     lat_lock = threading.Lock()
     n_total = args.requests
     counter = {"left": n_total}
@@ -119,9 +125,13 @@ def main():
                     return
                 counter["left"] -= 1
             t0 = time.perf_counter()
+            was_shed = False
             try:
                 res = post()
                 ok = res.get("status") == "success"
+            except urllib.error.HTTPError as e:
+                ok = False
+                was_shed = e.code == 429
             except Exception:
                 ok = False
             dt = time.perf_counter() - t0
@@ -130,6 +140,8 @@ def main():
                     latencies.append(dt)
                     if res["batching"]["requests"] > last_stats[0]["requests"]:
                         last_stats[0] = res["batching"]
+                elif was_shed:
+                    shed[0] += 1
                 else:
                     failures[0] += 1
 
@@ -154,6 +166,7 @@ def main():
             {
                 "requests": n_total,
                 "failed": failures[0],
+                "shed_429": shed[0],
                 "clients": args.clients,
                 "throughput_rps": round(len(latencies) / wall, 1),
                 "p50_ms": round(float(lat[len(lat) // 2]), 1),

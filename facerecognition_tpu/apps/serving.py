@@ -22,11 +22,21 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from typing import Optional
 
 import numpy as np
 
 BUCKETS = (1, 8, 32, 128, 512)
+
+
+class OverloadedError(RuntimeError):
+    """Raised by ``submit`` when the pending queue is at capacity.
+
+    Load shedding: arrival rate exceeds dispatch rate and queueing further
+    would only grow every waiter's latency. HTTP servers should map this
+    to 429 Too Many Requests (the web app's /recognize route does).
+    """
 
 
 class _Item:
@@ -55,6 +65,10 @@ class MicroBatcher:
       request_timeout: default ``submit`` wait in seconds. Generous by
         default: the first dispatch of each bucket size pays an XLA
         compile, which runs minutes for the full pipeline on TPU.
+      max_queue: pending-request cap. A ``submit`` that would push the
+        queue past this sheds load by raising ``OverloadedError`` instead
+        of queueing — bounded queues keep p99 bounded when arrival rate
+        exceeds dispatch rate.
     """
 
     def __init__(
@@ -66,6 +80,7 @@ class MicroBatcher:
         max_batch: int = 128,
         max_delay_ms: float = 5.0,
         request_timeout: float = 600.0,
+        max_queue: int = 1024,
     ):
         self._engine = engine
         self._frame_size = tuple(frame_size)
@@ -74,12 +89,16 @@ class MicroBatcher:
         self._max_batch = int(max_batch)
         self._max_delay = max_delay_ms / 1000.0
         self._request_timeout = request_timeout
+        self._max_queue = int(max_queue)
         self._queue: "queue.Queue[Optional[_Item]]" = queue.Queue()
         self._lifecycle_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._n_requests = 0
         self._n_batches = 0
         self._n_padded = 0
+        self._n_rejected = 0
+        # completed-request latencies (s), newest-N window for percentiles
+        self._latencies: deque[float] = deque(maxlen=4096)
         self._closed = False
         self._thread = threading.Thread(
             target=self._dispatch_loop, daemon=True, name="micro-batcher"
@@ -117,17 +136,28 @@ class MicroBatcher:
                 interpolation=cv2.INTER_LINEAR,
             )
         item = _Item(frame)
+        t_submit = time.monotonic()
         # Enqueue under the lifecycle lock: a submit that slipped past a
         # concurrent close() would otherwise wait out its full timeout on a
         # queue no dispatcher reads.
         with self._lifecycle_lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
+            # qsize() is exact under CPython's queue lock; the check and
+            # put are serialized by the lifecycle lock, so the bound holds.
+            if self._queue.qsize() >= self._max_queue:
+                with self._stats_lock:
+                    self._n_rejected += 1
+                raise OverloadedError(
+                    f"pending queue at capacity ({self._max_queue})"
+                )
             self._queue.put(item)
         if not item.event.wait(
             self._request_timeout if timeout is None else timeout
         ):
             raise TimeoutError("recognition batch not ready in time")
+        with self._stats_lock:
+            self._latencies.append(time.monotonic() - t_submit)
         if item.error is not None:
             raise item.error
         return item.result
@@ -135,12 +165,25 @@ class MicroBatcher:
     def stats(self) -> dict:
         with self._stats_lock:
             n_req, n_bat = self._n_requests, self._n_batches
-            return {
+            lat = sorted(self._latencies)
+            out = {
                 "requests": n_req,
                 "batches": n_bat,
                 "padded_frames": self._n_padded,
                 "mean_batch": round(n_req / n_bat, 2) if n_bat else 0.0,
+                "rejected": self._n_rejected,
+                "queue_depth": self._queue.qsize(),
+                "max_queue": self._max_queue,
             }
+        if lat:
+            # nearest-rank percentiles over the newest-4096 window
+            out["latency_ms"] = {
+                "p50": round(lat[int(0.50 * (len(lat) - 1))] * 1e3, 2),
+                "p90": round(lat[int(0.90 * (len(lat) - 1))] * 1e3, 2),
+                "p99": round(lat[int(0.99 * (len(lat) - 1))] * 1e3, 2),
+                "mean": round(sum(lat) / len(lat) * 1e3, 2),
+            }
+        return out
 
     def close(self) -> None:
         with self._lifecycle_lock:

@@ -30,10 +30,22 @@ def run():
 
     @st.cache_resource
     def get_engine():
+        # Detect+align by default, like the reference demo (app/app.py:13 →
+        # recognition_engine.py:84 use_face_detection=True): raw uploads get
+        # the largest face detected and warped to the template, never a
+        # whole-image embedding. FACE_DETECTOR=off opts out.
+        detector = None
+        if os.environ.get("FACE_DETECTOR", "on").lower() not in ("off", "0"):
+            from facerecognition_tpu.preprocessing.face_detector import (
+                FaceDetector,
+            )
+
+            detector = FaceDetector()
         engine = RecognitionEngine(
             model_type="arcface",
             checkpoint_path=os.environ.get("ARCFACE_CKPT"),
             threshold=0.5,
+            detector=detector,
         )
         gallery_path = os.environ.get("FACE_DB", "databases/arcface/face_db.npy")
         if os.path.exists(gallery_path):

@@ -857,8 +857,23 @@ def create_app(
                     },
                     status="503 Service Unavailable",
                 )
+            from facerecognition_tpu.apps.serving import OverloadedError
+
             try:
                 res = batcher.submit(image)
+            except OverloadedError as exc:
+                # bounded-queue load shedding: tell the client to back off
+                return respond_json(
+                    start_response,
+                    {"error": str(exc), "retry": True},
+                    status="429 Too Many Requests",
+                )
+            except TimeoutError as exc:
+                return respond_json(
+                    start_response,
+                    {"error": f"recognition timed out: {exc}"},
+                    status="503 Service Unavailable",
+                )
             except Exception as exc:
                 return respond_json(
                     start_response,

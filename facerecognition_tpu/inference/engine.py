@@ -899,11 +899,24 @@ def create_engine_from_embeddings_dir(
     embeddings_dir: str,
     model_type: str = "arcface",
     threshold: float = 0.5,
-    detector: Optional[Any] = None,
+    detector: Any = "default",
 ) -> RecognitionEngine:
     """Build an engine from a directory of saved galleries
     (reference recognition_engine.py:438-464): loads ``face_db.npy`` or the
-    first .npy dict found in ``embeddings_dir``."""
+    first .npy dict found in ``embeddings_dir``.
+
+    Like the reference engine (recognition_engine.py:84,
+    ``use_face_detection=True``), the returned engine detects+aligns by
+    default: ``detector="default"`` constructs a :class:`FaceDetector` with
+    the shipped checkpoint. Pass ``detector=None`` for whole-image
+    embedding, or a ready detector instance to reuse one.
+    """
+    if detector == "default":
+        from facerecognition_tpu.preprocessing.face_detector import (
+            FaceDetector,
+        )
+
+        detector = FaceDetector()
     engine = RecognitionEngine(
         model_type=model_type,
         checkpoint_path=model_path,

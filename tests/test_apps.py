@@ -596,10 +596,61 @@ class TestStreamlitApp:
             sys.modules, "streamlit", self._fake_streamlit(buf, record)
         )
         monkeypatch.setenv("FACE_DB", db_path)
+        # this test pins the no-detector recognize path (enrollment above
+        # was whole-image); detector-on wiring is tested separately below
+        monkeypatch.setenv("FACE_DETECTOR", "off")
         streamlit_app.run()
         assert "error" not in record, record
         assert record["identity"] == "alice"
         assert record["table"][0]["identity"] == "alice"
+
+    def test_detector_constructed_and_consulted_by_default(
+        self, tmp_path, monkeypatch, rng
+    ):
+        """Parity with the reference demo's detect-by-default engine
+        (app/app.py:13 → recognition_engine.py:84): without FACE_DETECTOR=off
+        the app must build a FaceDetector and route the upload through it."""
+        import io
+        import sys
+
+        from PIL import Image
+
+        from facerecognition_tpu.apps import streamlit_app
+        from facerecognition_tpu.inference.engine import RecognitionEngine
+        from facerecognition_tpu.preprocessing import face_detector as fd_mod
+
+        calls = {"init": 0, "detect": 0}
+
+        class FakeDetector:
+            def __init__(self, *a, **k):
+                calls["init"] += 1
+
+            def detect(self, image):
+                calls["detect"] += 1
+                return None  # miss → engine's whole-image fallback chain
+
+        monkeypatch.setattr(fd_mod, "FaceDetector", FakeDetector)
+
+        img = rng.integers(0, 256, (160, 160, 3)).astype("uint8")
+        setup = RecognitionEngine(model_type="arcface")
+        assert setup.add_to_db("alice", [img])
+        db_path = str(tmp_path / "face_db.npy")
+        setup.gallery.save(db_path)
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        buf.seek(0)
+        record = {}
+        monkeypatch.setitem(
+            sys.modules, "streamlit", self._fake_streamlit(buf, record)
+        )
+        monkeypatch.setenv("FACE_DB", db_path)
+        monkeypatch.delenv("FACE_DETECTOR", raising=False)
+        streamlit_app.run()
+        assert calls["init"] == 1, "app did not construct a detector"
+        assert calls["detect"] >= 1, "upload bypassed the detector"
+        assert "error" not in record, record
+        assert record["identity"] == "alice"  # fallback embeds whole image
 
     def test_empty_gallery_surfaces_error(self, tmp_path, monkeypatch, rng):
         import io
@@ -618,6 +669,7 @@ class TestStreamlitApp:
             sys.modules, "streamlit", self._fake_streamlit(buf, record)
         )
         monkeypatch.setenv("FACE_DB", str(tmp_path / "missing.npy"))
+        monkeypatch.setenv("FACE_DETECTOR", "off")
         streamlit_app.run()
         assert "identity" not in record
         assert "error" in record
@@ -856,6 +908,62 @@ class TestMicroBatcher:
         with pytest.raises(RuntimeError):
             mb.submit(np.zeros((8, 8, 3), np.uint8))
 
+    def test_sheds_load_when_queue_full(self):
+        import threading as th
+
+        from facerecognition_tpu.apps.serving import (
+            MicroBatcher,
+            OverloadedError,
+        )
+
+        # Dispatcher busy for 0.8s per batch; queue bounded at 2. One
+        # request occupies the dispatcher, then 3 more arrive: two queue,
+        # the third must be shed with OverloadedError, not wait unbounded.
+        eng = FakeFusedEngine(delay=0.8)
+        mb = MicroBatcher(
+            eng, frame_size=(8, 8), max_delay_ms=1.0, max_queue=2
+        )
+        try:
+            ok, shed = [], []
+
+            def worker(i):
+                try:
+                    ok.append(mb.submit(self._frames(8)[i]))
+                except OverloadedError as e:
+                    shed.append(e)
+
+            t0 = th.Thread(target=worker, args=(0,))
+            t0.start()
+            time.sleep(0.3)  # dispatcher now mid-batch with frame 0
+            rest = [th.Thread(target=worker, args=(i,)) for i in (1, 2, 3)]
+            for t in rest:
+                t.start()
+            for t in [t0] + rest:
+                t.join(timeout=30)
+            assert len(shed) == 1, (len(ok), len(shed))
+            assert len(ok) == 3
+            assert mb.stats()["rejected"] == 1
+        finally:
+            mb.close()
+
+    def test_stats_latency_percentiles_and_queue_depth(self):
+        from facerecognition_tpu.apps.serving import MicroBatcher
+
+        mb = MicroBatcher(FakeFusedEngine(), frame_size=(8, 8),
+                          max_delay_ms=1.0)
+        try:
+            for f in self._frames(4):
+                mb.submit(f)
+            s = mb.stats()
+            assert s["rejected"] == 0
+            assert s["queue_depth"] == 0
+            assert s["max_queue"] == 1024
+            lat = s["latency_ms"]
+            assert 0 <= lat["p50"] <= lat["p90"] <= lat["p99"]
+            assert lat["mean"] > 0
+        finally:
+            mb.close()
+
 
 class TestRecognizeRoute:
     def _app_with_fused(self):
@@ -902,6 +1010,45 @@ class TestRecognizeRoute:
             content_type="application/octet-stream",
         )
         assert status.startswith("400")
+
+    def test_recognize_route_429_when_overloaded(self, rng):
+        import threading as th
+
+        from facerecognition_tpu.apps.web_app import EngineRegistry, create_app
+
+        registry = EngineRegistry()
+        eng = FakeFusedEngine(delay=0.8)
+        registry._engines["arcface"] = eng
+        app = create_app(
+            registry,
+            batcher_opts={
+                "frame_size": (8, 8),
+                "max_delay_ms": 1.0,
+                "max_queue": 1,
+            },
+        )
+        _, png = png_bytes(rng, size=16)
+
+        statuses = []
+        lock = th.Lock()
+
+        def hit():
+            status, _, _ = Client(app).request(
+                "POST", "/recognize", body=png, content_type="image/png"
+            )
+            with lock:
+                statuses.append(status)
+
+        first = th.Thread(target=hit)
+        first.start()
+        time.sleep(0.3)  # dispatcher busy; queue capacity 1
+        rest = [th.Thread(target=hit) for _ in range(3)]
+        for t in rest:
+            t.start()
+        for t in [first] + rest:
+            t.join(timeout=30)
+        assert sum(s.startswith("429") for s in statuses) >= 1, statuses
+        assert sum(s.startswith("200") for s in statuses) >= 2, statuses
 
     def test_recognize_route_503_when_not_servable(self, app_and_registry, rng):
         # the module fixture's engine has no detector -> degrade, not crash
