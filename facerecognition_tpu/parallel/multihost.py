@@ -25,7 +25,7 @@ Typical pod-slice deployment::
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np
@@ -54,7 +54,10 @@ def initialize_multihost(
 
 
 def create_hybrid_mesh(
-    dcn: Optional[dict] = None, ici: Optional[dict] = None
+    dcn: Optional[dict] = None,
+    ici: Optional[dict] = None,
+    devices: Optional[Sequence] = None,
+    slice_of: Optional[Callable] = None,
 ) -> Mesh:
     """Mesh with ``dcn`` axes spanning hosts/slices and ``ici`` axes inside.
 
@@ -67,13 +70,24 @@ def create_hybrid_mesh(
     Single-slice processes (tests, one host) degrade transparently: with
     one slice, the DCN axes get size 1 (or whatever the inferred -1
     yields) and the result equals a plain ``create_mesh``.
+
+    ``devices``/``slice_of`` override the device list and the
+    device→slice assignment (default: the backend's ``slice_index``).
+    The override exists so the DCN-outer topology is exercisable on
+    backends that expose no slice structure — the virtual CPU mesh the
+    test suite and the driver dryrun run on.
     """
-    grid, names = _plan_hybrid(jax.devices(), dcn, ici)
+    grid, names = _plan_hybrid(
+        jax.devices() if devices is None else devices, dcn, ici, slice_of
+    )
     return Mesh(grid, names)
 
 
 def _plan_hybrid(
-    devices: Sequence, dcn: Optional[dict], ici: Optional[dict]
+    devices: Sequence,
+    dcn: Optional[dict],
+    ici: Optional[dict],
+    slice_of: Optional[Callable] = None,
 ) -> tuple[np.ndarray, tuple]:
     """(device grid, axis names) for :func:`create_hybrid_mesh`.
 
@@ -85,10 +99,12 @@ def _plan_hybrid(
     ici = dict(ici or {})
     if not ici:
         raise ValueError("need at least one ICI axis")
+    if slice_of is None:
+        # TPU backends expose slice_index on pods; single-slice (or CPU
+        # test) backends do not — one slice then.
+        slice_of = lambda d: getattr(d, "slice_index", 0)  # noqa: E731
 
-    # Group devices by slice. TPU backends expose slice_index on pods;
-    # single-slice (or CPU test) backends do not — one slice then.
-    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+    slice_ids = sorted({slice_of(d) for d in devices})
     n_slices = len(slice_ids)
     per_slice = len(devices) // n_slices
     if per_slice * n_slices != len(devices):
@@ -117,7 +133,7 @@ def _plan_hybrid(
     # the named axis sizes: DCN axes over the slice dim, ICI axes within.
     by_slice = {s: [] for s in slice_ids}
     for d in devices:
-        by_slice[getattr(d, "slice_index", 0)].append(d)
+        by_slice[slice_of(d)].append(d)
     grid = np.asarray(
         [sorted(by_slice[s], key=lambda d: d.id) for s in slice_ids],
         dtype=object,

@@ -19,6 +19,8 @@ def test_dryrun_multichip_inprocess(capsys):
     g.dryrun_multichip(8)
     out = capsys.readouterr().out
     assert "sharded gallery top1 ok" in out
+    # the DCN-outer hybrid mesh case must actually run on 8 devices
+    assert "hybrid 2x4 DCN-outer mesh ok" in out
 
 
 @pytest.mark.slow

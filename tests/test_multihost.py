@@ -51,6 +51,33 @@ def test_plan_rejects_bad_sizes():
         _plan_hybrid(devs, dcn={"data": 1}, ici=None)
 
 
+def test_slice_of_override_builds_real_2x4_hybrid_mesh():
+    """slice_of lets the DCN-outer topology run on backends with no slice
+    structure (the CPU test mesh): a real 2x4 Mesh carrying a sharded
+    gallery search over the ICI-inner axis."""
+    from facerecognition_tpu.parallel import ShardedGallery
+
+    devs = jax.devices()[:8]
+    mesh = create_hybrid_mesh(
+        dcn={"data": 2},
+        ici={"gallery": 4},
+        devices=devs,
+        slice_of=lambda d: devs.index(d) // 4,
+    )
+    assert mesh.axis_names == ("data", "gallery")
+    assert mesh.devices.shape == (2, 4)
+    # inner rows are contiguous device groups ("slices")
+    for r, row in enumerate(mesh.devices):
+        assert [devs.index(d) // 4 for d in row] == [r] * 4
+
+    rng = np.random.default_rng(0)
+    mat = rng.normal(size=(64, 16)).astype(np.float32)
+    gal = ShardedGallery(mesh, dim=16)
+    gal.set_all([f"id_{i}" for i in range(64)], mat)
+    _, idx = gal.topk(mat[[3, 40]], k=3)
+    assert list(np.asarray(idx)[:, 0]) == [3, 40]
+
+
 def test_single_slice_hybrid_mesh_is_usable():
     """On the 8-device CPU test backend (one slice), the hybrid mesh
     degrades to a plain mesh and runs a psum across the ICI axis."""
