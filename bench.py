@@ -17,7 +17,12 @@ per-dispatch latency and untrustworthy buffer-ready signals):
   the shipped TRAINED detector+embedder weights, and the JSON line carries
   the calibrated mean detection score on those exact inputs — the number
   describes a detecting, recognizing pipeline, not a fast graph over
-  noise (--noise restores random frames for ablation).
+  noise (--noise restores random frames for ablation);
+- the default measures the one-face serving contract (argmax decode — NMS
+  skipped, see docs/PROFILE.md); --max-faces M benches the full
+  NMS-in-graph crowd path on multi-face scenes (M slots aligned/embedded/
+  matched per frame; faces/s counts ground-truth faces, and
+  frames_per_sec / ms_per_frame / slots_per_sec are reported beside it).
 """
 
 import argparse
@@ -64,7 +69,7 @@ def load_detector(det_size):
     return net, variables, None
 
 
-def build_pipeline():
+def build_pipeline(max_faces: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +77,7 @@ def build_pipeline():
     from facerecognition_tpu.models.detector_net import (
         anchor_centers,
         detect_best_face_batch,
+        detect_faces_batch,
     )
     from facerecognition_tpu.inference.extract_embeddings import (
         load_arcface_checkpoint,
@@ -93,18 +99,31 @@ def build_pipeline():
 
     def one_batch(frames, gallery):
         # --- detect: resize → BlazeFace forward → decode + NMS ------------
-        h = frames.shape[1]
+        bsz, h = frames.shape[0], frames.shape[1]
         small = bilinear_resize_mxu_batch(frames, DET_SIZE, DET_SIZE, True)
         raw = det_net.apply(det_vars, small / 127.5 - 1.0)
-        # One face per frame: argmax decode — identical to greedy NMS's
-        # first pick but without the all-anchor top-k (detector_net.
-        # detect_best_face; parity test in tests/test_detector.py).
-        _, lms, det_scores = detect_best_face_batch(raw, anchors)
-        # landmarks in frame coords (clamped so the warp samples inside
-        # the frame regardless of detector training)
-        lm = jnp.clip(lms * (h / DET_SIZE), 0.0, h - 1.0)  # (B, 5, 2)
+        if max_faces == 1:
+            # One face per frame: argmax decode — identical to greedy NMS's
+            # first pick but without the all-anchor top-k (detector_net.
+            # detect_best_face; parity test in tests/test_detector.py).
+            _, lms, det_scores = detect_best_face_batch(raw, anchors)
+            lm = jnp.clip(lms * (h / DET_SIZE), 0.0, h - 1.0)  # (B, 5, 2)
+            align_frames = frames
+        else:
+            # Crowd scenes: full in-graph decode + padded greedy NMS to M
+            # slots per frame — the same path the fused serving graph takes
+            # (engine._build_fused); every B*M slot is aligned/embedded/
+            # matched unconditionally (fixed shapes beat data-dependent
+            # skips on the MXU).
+            _, lms, det_scores, _ = detect_faces_batch(
+                raw, anchors, 0.3, max_faces
+            )  # lms (B, M, 5, 2), det_scores (B, M)
+            lm = jnp.clip(lms * (h / DET_SIZE), 0.0, h - 1.0).reshape(
+                bsz * max_faces, 5, 2
+            )
+            align_frames = jnp.repeat(frames, max_faces, axis=0)
         # --- align → embed → match ----------------------------------------
-        aligned = align_crop_mxu_batch(frames, lm, 112, True)
+        aligned = align_crop_mxu_batch(align_frames, lm, 112, True)
         x = normalize_imagenet_style(aligned)
         emb = model.apply(variables, x)
         emb = l2_normalize(emb.astype(jnp.float32))
@@ -149,24 +168,38 @@ def main():
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--noise", action="store_true",
                     help="random-noise frames instead of rendered scenes")
+    ap.add_argument("--max-faces", type=int, default=1,
+                    help=">1 switches to the full NMS-in-graph crowd path "
+                    "(M slots per frame) over multi-face rendered scenes")
+    ap.add_argument("--frame", type=int, default=0,
+                    help="frame edge in px (default 160, or 256 for "
+                    "multi-face crowd scenes)")
     args = ap.parse_args()
 
     BATCH = args.batch
     K = args.iters  # batches per timed execution
     GALLERY = args.gallery
+    M = args.max_faces
+    FRAME = args.frame or (160 if M == 1 else 256)
     rng = np.random.default_rng(0)
 
-    fn = build_pipeline()
+    fn = build_pipeline(M)
+    n_gt_faces = BATCH  # ground-truth faces per batch
     if args.noise:
-        frames = rng.integers(0, 256, (BATCH, 160, 160, 3)).astype(np.float32)
+        frames = rng.integers(0, 256, (BATCH, FRAME, FRAME, 3)).astype(
+            np.float32
+        )
     else:
         # Real (procedural) face scenes — the detector must actually find
         # faces for the headline to describe a working pipeline, not just
         # a fast graph over noise (VERDICT r1 item 10 / weak 8).
         from facerecognition_tpu.training.synthetic_faces import scene_batch
 
-        frames, _, _, _ = scene_batch(rng, BATCH, 160, max_faces=1, p_face=1.0)
+        frames, _, _, valid = scene_batch(
+            rng, BATCH, FRAME, max_faces=M, p_face=1.0
+        )
         frames = frames.astype(np.float32)
+        n_gt_faces = int(np.asarray(valid).sum())
     frames_stack = jnp.asarray(np.broadcast_to(frames, (K,) + frames.shape))
     gal_np = rng.normal(size=(GALLERY, 512)).astype(np.float32)
     gal_np /= np.linalg.norm(gal_np, axis=1, keepdims=True)  # unit rows,
@@ -213,8 +246,24 @@ def main():
         best = min(best, time.perf_counter() - t0)
         assert np.isfinite(checksum)
 
-    faces_per_sec = K * BATCH / best
     baseline = 1592.0  # reference max batched throughput (embed-only)
+    if M == 1:
+        faces_per_sec = K * BATCH / best
+        extra = {}
+    else:
+        # Crowd scenes: every frame runs M NMS slots through align/embed/
+        # match; the faces/s numerator is the GROUND-TRUTH face count in
+        # the rendered scenes (1..min(M, 4) per frame), not the slot count
+        # — the honest "recognized faces per second" under the full
+        # multi-face contract.
+        faces_per_sec = K * n_gt_faces / best
+        extra = {
+            "max_faces": M,
+            "frames_per_sec": round(K * BATCH / best, 1),
+            "ms_per_frame": round(best / (K * BATCH) * 1e3, 3),
+            "gt_faces_per_frame": round(n_gt_faces / BATCH, 2),
+            "slots_per_sec": round(K * BATCH * M / best, 1),
+        }
     print(
         json.dumps(
             {
@@ -223,8 +272,10 @@ def main():
                 "unit": "faces/s",
                 "vs_baseline": round(faces_per_sec / baseline, 2),
                 "gallery": GALLERY,
+                "frame": FRAME,
                 "trained_weights": have_detector
                 and os.path.exists(EMBEDDER_WEIGHTS),
+                **extra,
                 **(
                     {"mean_det_score": round(mean_det, 3)}
                     if mean_det is not None
