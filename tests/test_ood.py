@@ -1,0 +1,83 @@
+"""OOD scene families (training/ood_faces.py) + detector generality floor."""
+
+import numpy as np
+import pytest
+
+from facerecognition_tpu.training.ood_faces import (
+    OOD_FAMILIES,
+    ood_render_scene,
+    ood_scene_batch,
+    sample_identity_ood,
+)
+from facerecognition_tpu.training.synthetic_faces import MAX_GT
+
+
+@pytest.mark.parametrize("family", OOD_FAMILIES)
+def test_families_render_valid_single_face_scenes(family):
+    rng = np.random.default_rng(0)
+    img, boxes, lms, valid = ood_render_scene(rng, 128, family)
+    assert img.shape == (128, 128, 3) and img.dtype == np.float32
+    assert 0 <= img.min() and img.max() <= 255
+    assert boxes.shape == (MAX_GT, 4) and lms.shape == (MAX_GT, 5, 2)
+    assert valid[0] and not valid[1:].any()
+    x1, y1, x2, y2 = boxes[0]
+    assert x2 > x1 and y2 > y1
+    # face center inside the frame (the training convention)
+    assert 0 <= (x1 + x2) / 2 < 128 and 0 <= (y1 + y2) / 2 < 128
+
+
+def test_unknown_family_raises():
+    with pytest.raises(ValueError, match="unknown OOD family"):
+        ood_render_scene(np.random.default_rng(0), 128, "nope")
+
+
+def test_ood_identity_outside_training_ranges():
+    rng = np.random.default_rng(1)
+    for _ in range(16):
+        p = sample_identity_ood(rng)
+        assert p.aspect < 1.15 or p.aspect > 1.45  # training: 1.15..1.45
+        assert p.glasses
+        # gray/white hair: near-achromatic AND bright — training hair is
+        # dark (all-channel 15..70) or warm blond (B << R)
+        assert p.hair.min() > 150 and p.hair.max() / p.hair.min() < 1.15
+        # cool skin: G >= 0.95 R — training pins G/R in 0.72..0.92
+        assert p.skin[1] >= 0.90 * p.skin[0]
+
+
+def test_batch_contract():
+    rng = np.random.default_rng(2)
+    imgs, boxes, lms, valid = ood_scene_batch(rng, 3, 96, "background")
+    assert imgs.shape == (3, 96, 96, 3)
+    assert valid[:, 0].all()
+
+
+@pytest.mark.slow
+def test_detector_recall_floor_on_mild_ood():
+    """Generality regression: the shipped detector must keep >=80% recall
+    on the mildest OOD families (background, degradation) — a drop below
+    that on scenes whose faces are IN-distribution means the detector
+    keyed on the training backgrounds/photometrics, not on faces."""
+    from facerecognition_tpu.preprocessing.face_detector import FaceDetector
+
+    det = FaceDetector(confidence_threshold=0.5)
+    rng = np.random.default_rng(3)
+    for family in ("background", "degradation"):
+        hits = 0
+        n = 25
+        for _ in range(n):
+            img, boxes, _, _ = ood_render_scene(rng, 192, family)
+            gt = np.clip(boxes[0], 0, 192)
+            for f in det.detect_all(img):
+                b = np.clip(np.asarray(f["bbox"], np.float32), 0, 192)
+                ix1, iy1 = max(b[0], gt[0]), max(b[1], gt[1])
+                ix2, iy2 = min(b[2], gt[2]), min(b[3], gt[3])
+                inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+                ua = (
+                    (b[2] - b[0]) * (b[3] - b[1])
+                    + (gt[2] - gt[0]) * (gt[3] - gt[1])
+                    - inter
+                )
+                if inter / max(ua, 1e-9) >= 0.5:
+                    hits += 1
+                    break
+        assert hits / n >= 0.8, f"{family} recall {hits}/{n}"
