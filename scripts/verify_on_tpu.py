@@ -115,16 +115,28 @@ def main():
         train_synthid,
     )
 
+    # 8 epochs: after the one-time compile each epoch is ~0.2s, and the
+    # margin ramp spans the first 2 epochs — enough steps that the
+    # learning-signal assertion is solid, not a coin flip.
     cfg = SynthIdConfig(
-        n_ids=24, train_per_id=8, val_per_id=2, batch_size=64, epochs=2,
+        n_ids=24, train_per_id=8, val_per_id=2, batch_size=64, epochs=8,
         lr=0.05,
     )
     _, history, _ = train_synthid(
         cfg, log=lambda m: print(f"  [train] {m}", flush=True)
     )
+    # Learning signal: train accuracy must rise. (NOT loss — the ArcFace
+    # margin ramp means early-epoch loss legitimately increases while the
+    # model improves.)
+    accs = [row["train_acc"] for row in history]
     losses = [row["loss"] for row in history]
-    assert len(losses) >= 2 and losses[-1] < losses[0], f"no loss drop: {losses}"
-    log(f"resident 2-epoch train: loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+    assert np.isfinite(losses).all(), f"non-finite loss: {losses}"
+    assert max(accs[3:]) > accs[0] + 0.05, f"no learning: {accs}"
+    log(
+        f"resident {cfg.epochs}-epoch train: acc {accs[0]:.3f} -> "
+        f"{max(accs):.3f} (loss {losses[0]:.2f} -> {losses[-1]:.2f}; "
+        f"margin ramps over the first 2 epochs)"
+    )
 
     print("VERIFY OK", flush=True)
 
