@@ -75,6 +75,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "early_stopping_patience": 8,
         "num_devices": "auto",  # data-parallel device count; 1 disables
         "seed": 0,
+        # Warm start for phase schedules (semi-hard warmup -> batch-hard
+        # finetune): "<ckpt_dir>:<tag>" restores params+batch_stats from a
+        # training checkpoint, "<file>.msgpack" from an exported serving
+        # checkpoint. Optimizer state starts fresh (the phases use
+        # different mining objectives and learning rates).
+        "init_from": None,
     },
     "eval": {"num_pairs": 1000, "batch_size": 128},
     "checkpoint": {"dir": "checkpoints/facenet", "keep_last_n": 3},
@@ -136,6 +142,8 @@ class FaceNetTrainer:
             gamma=t["gamma"],
         )
         tx = optax.adam(schedule)
+        if t.get("init_from"):
+            variables = self._load_init(t["init_from"], variables)
         self.state = ArcFaceTrainState.create(
             apply_fn=self.model.apply,
             params=variables["params"],
@@ -178,6 +186,33 @@ class FaceNetTrainer:
         self.early_stopping = EarlyStopping(
             patience=t["early_stopping_patience"], mode="min"
         )
+
+    def _load_init(self, spec: str, variables: dict) -> dict:
+        """Warm-start params/batch_stats from ``dir:tag`` or ``*.msgpack``.
+
+        Tree structure must match the freshly-initialized model — a
+        mismatch (different embedding size / architecture) raises rather
+        than silently training from partial weights.
+        """
+        import jax.tree_util as jtu
+
+        if spec.endswith(".msgpack"):
+            from facerecognition_tpu.utils.serialization import load_variables
+
+            loaded = load_variables(spec)
+        else:
+            d, _, tag = spec.rpartition(":")
+            tree, _ = CheckpointManager(d or spec).restore(tag or "best")
+            loaded = {
+                "params": tree["params"],
+                "batch_stats": tree["batch_stats"],
+            }
+        ref = {k: variables[k] for k in ("params", "batch_stats")}
+        if jtu.tree_structure(loaded) != jtu.tree_structure(ref):
+            raise ValueError(
+                f"init_from {spec!r} tree does not match the configured model"
+            )
+        return {**variables, **loaded}
 
     def _steps_per_epoch(self) -> int:
         t = self.config["train"]

@@ -267,6 +267,55 @@ class TestFaceNetTrainerEndToEnd:
         assert {"val_loss", "ver_acc", "d_ap", "d_an"} <= set(rec)
         assert trainer.ckpt.exists("last")
 
+        # Phase-two warm start (semi-hard -> batch-hard finetune): params
+        # carry over bit-exact from the phase-one checkpoint, mining and lr
+        # change, optimizer state starts fresh.
+        import jax
+
+        cfg2 = {
+            **cfg,
+            "train": {
+                **cfg["train"],
+                "mining": "batch_hard",
+                "lr": 1e-5,
+                "init_from": f"{tmp_path / 'fn'}:last",
+            },
+            "checkpoint": {"dir": str(tmp_path / "fn2"), "keep_last_n": 2},
+        }
+        t2 = FaceNetTrainer(cfg2)
+        restored, _ = trainer.ckpt.restore("last")
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t2.state.params),
+            jax.tree_util.tree_leaves(restored["params"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(t2.state.step) == 0
+
+    def test_init_from_rejects_mismatched_model(self, image_tree, tmp_path):
+        from facerecognition_tpu.training.train_facenet import FaceNetTrainer
+        from facerecognition_tpu.utils.serialization import save_variables
+
+        save_variables(
+            str(tmp_path / "wrong.msgpack"),
+            {"params": {"x": np.zeros(3)}, "batch_stats": {}},
+        )
+        cfg = {
+            "data": {
+                "data_dir": image_tree,
+                "image_size": 80,
+                "min_images": 1,
+                "val_frac": 0.34,
+            },
+            "train": {
+                "p_identities": 2,
+                "k_images": 2,
+                "init_from": str(tmp_path / "wrong.msgpack"),
+            },
+            "checkpoint": {"dir": str(tmp_path / "fn3")},
+        }
+        with pytest.raises(ValueError, match="init_from"):
+            FaceNetTrainer(cfg)
+
 
 class TestLBPHTraining:
     def test_from_directory_with_threshold(self, image_tree, tmp_path):
