@@ -33,12 +33,28 @@ import time
 import numpy as np
 
 _ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
-# Override to A/B alternative embedder checkpoints (e.g. the slim backbone)
-# without editing the file; the arch marker in the checkpoint is honored.
-EMBEDDER_WEIGHTS = os.environ.get(
-    "FACEREC_BENCH_EMBEDDER",
-    os.path.join(_ASSETS, "arcface_synthid_512.msgpack"),
-)
+
+
+def _default_embedder() -> str:
+    """Serving-default checkpoint (slim-9k preferred — the measured
+    quality+speed winner; inference.extract_embeddings is the single
+    source of truth for the preference order)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from facerecognition_tpu.inference.extract_embeddings import (
+        default_arcface_checkpoint,
+    )
+
+    return default_arcface_checkpoint() or os.path.join(
+        _ASSETS, "arcface_synthid_512.msgpack"
+    )
+
+
+# Override to A/B alternative embedder checkpoints (e.g. the (3,4,6,3)
+# backbone) without editing the file; the arch marker in the checkpoint is
+# honored.
+EMBEDDER_WEIGHTS = os.environ.get("FACEREC_BENCH_EMBEDDER") or _default_embedder()
 
 
 def load_detector(det_size):

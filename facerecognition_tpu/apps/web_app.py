@@ -98,18 +98,26 @@ class EngineRegistry:
                     # Ship-with-repo trained checkpoints (synthetic-identity
                     # curriculum: training/train_synthid.py for ArcFace,
                     # training/train_facenet.py for FaceNet) so the app
-                    # serves real weights out of the box.
-                    default = os.path.join(
-                        os.path.dirname(
+                    # serves real weights out of the box. ArcFace resolves
+                    # through the package-wide default (slim-9k preferred).
+                    if model_type == "arcface":
+                        from facerecognition_tpu.inference.extract_embeddings import (  # noqa: E501
+                            default_arcface_checkpoint,
+                        )
+
+                        ckpt = default_arcface_checkpoint()
+                    else:
+                        default = os.path.join(
                             os.path.dirname(
-                                os.path.dirname(os.path.abspath(__file__))
-                            )
-                        ),
-                        "assets",
-                        f"{model_type}_synthid_512.msgpack",
-                    )
-                    if os.path.exists(default):
-                        ckpt = default
+                                os.path.dirname(
+                                    os.path.dirname(os.path.abspath(__file__))
+                                )
+                            ),
+                            "assets",
+                            f"{model_type}_synthid_512.msgpack",
+                        )
+                        if os.path.exists(default):
+                            ckpt = default
                 if not ckpt or not os.path.exists(ckpt):
                     # No trained weights configured → degrade to the
                     # reference's "Model not loaded" instead of serving

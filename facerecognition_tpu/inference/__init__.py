@@ -18,6 +18,7 @@ from facerecognition_tpu.inference.extract_embeddings import (
     extract_embeddings_batch,
     extract_embeddings_from_csv,
     full_pipeline,
+    default_arcface_checkpoint,
     load_arcface_model,
     load_facenet_model,
     visualize_tsne,
@@ -54,6 +55,7 @@ __all__ = [
     "compute_prototypes_from_arrays",
     "extract_embedding_single",
     "extract_embeddings_batch",
+    "default_arcface_checkpoint",
     "load_arcface_model",
     "load_facenet_model",
 ]

@@ -145,6 +145,31 @@ def load_arcface_checkpoint(
     return model, variables
 
 
+def default_arcface_checkpoint() -> Optional[str]:
+    """Best shipped ArcFace serving checkpoint, or None.
+
+    Preference order = measured quality THEN speed on the synthid-9k eval:
+    the slim (2,2,2,2) 9k checkpoint (top-1 99.98%, 41k img/s embed-only,
+    docs/SYNTHID9K_SLIM_EVAL.json) over the (3,4,6,3) 9k checkpoint
+    (99.95%, 29k img/s) over the legacy 500-id checkpoint. bench.py and
+    the web app resolve their default embedder through here so the whole
+    stack ships the same weights.
+    """
+    assets = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "assets",
+    )
+    for name in (
+        "arcface_synthid9k_slim_512.msgpack",
+        "arcface_synthid9k_512.msgpack",
+        "arcface_synthid_512.msgpack",
+    ):
+        path = os.path.join(assets, name)
+        if os.path.exists(path):
+            return path
+    return None
+
+
 def load_arcface_model(
     checkpoint_path: Optional[str] = None,
     embedding_size: int = 512,
