@@ -64,6 +64,7 @@ def main():
 
     class _Srv(ThreadingMixIn, WSGIServer):
         daemon_threads = True
+        request_queue_size = 128  # survive the concurrent client burst
 
     server = make_server("127.0.0.1", args.port, app, server_class=_Srv)
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -83,8 +84,14 @@ def main():
         req = urllib.request.Request(
             url, data=payload, headers={"Content-Type": "image/jpeg"}
         )
-        with urllib.request.urlopen(req, timeout=1800) as r:
-            return json.loads(r.read())
+        try:
+            with urllib.request.urlopen(req, timeout=1800) as r:
+                return json.loads(r.read())
+        except (ConnectionResetError, ConnectionRefusedError):
+            # one retry on a transport-level reset (kernel backlog burst) —
+            # HTTP-level errors (429/5xx) propagate untouched
+            with urllib.request.urlopen(req, timeout=1800) as r:
+                return json.loads(r.read())
 
     # Warm with a CONCURRENT burst so the bucket sizes the timed run will
     # actually hit (not just bucket 1) are compiled before timing — a cold
@@ -94,7 +101,17 @@ def main():
     warm_results = [None] * args.clients
 
     def warm_client(i):
-        warm_results[i] = post()
+        # Warmup only needs the bucket graphs compiled — with a small
+        # --max-queue the burst legitimately sheds (429); back off and
+        # retry until this client's request lands.
+        while True:
+            try:
+                warm_results[i] = post()
+                return
+            except urllib.error.HTTPError as e:
+                if e.code != 429:
+                    raise
+                time.sleep(0.5)
 
     threads = [
         threading.Thread(target=warm_client, args=(i,))
@@ -152,6 +169,14 @@ def main():
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
+    # Server-side view: the MicroBatcher's own latency percentiles and
+    # queue counters (docs/SERVING.md "Overload behavior").
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{args.port}/stats", timeout=60
+    ) as r:
+        server_stats = (
+            json.loads(r.read())["models"].get("arcface", {}).get("batching")
+        )
     server.shutdown()
 
     if not latencies:
@@ -174,6 +199,7 @@ def main():
                 "mean_batch": round(d_req / d_bat, 2) if d_bat else None,
                 "batches": d_bat,
                 "frame": args.frame,
+                "server": server_stats,
             }
         ),
         flush=True,

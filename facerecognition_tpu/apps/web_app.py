@@ -1142,6 +1142,10 @@ def main(argv: Optional[list[str]] = None):
 
         class _ThreadedServer(ThreadingMixIn, WSGIServer):
             daemon_threads = True
+            # socketserver's default listen backlog is 5 — a concurrent
+            # client burst (the micro-batcher's whole point) gets
+            # connection resets before a request is even read.
+            request_queue_size = 128
 
         server = make_server(
             args.host, args.port, app, server_class=_ThreadedServer
