@@ -25,6 +25,14 @@ def build_schedule(
     min_lr: float = 0.0,
 ) -> optax.Schedule:
     """Resolve a config-described schedule into an optax schedule fn."""
+    # Defensive numeric coercion: CLI overrides parse through YAML 1.1,
+    # where "3e-4" is a STRING (float syntax requires a dot before the
+    # exponent) — left uncoerced it string-multiplies inside optax and
+    # fails deep in the first train step.
+    base_lr = float(base_lr)
+    gamma = float(gamma)
+    min_lr = float(min_lr)
+    warmup_start_factor = float(warmup_start_factor)
     if schedule == "cosine":
         main = optax.cosine_decay_schedule(
             base_lr, max(total_steps - warmup_steps, 1), alpha=min_lr / base_lr if base_lr else 0.0
