@@ -153,6 +153,7 @@ def make_facenet_train_step(
     model: FaceNetModel,
     margin: float = 0.5,
     mining: str = "semi_hard",
+    remat: bool = False,
 ) -> Callable:
     """Fused two-pass online-mining FaceNet step.
 
@@ -162,18 +163,29 @@ def make_facenet_train_step(
     only picks indices, one grad forward suffices — mathematically identical
     to the reference's two forwards (train_facenet.py:203-229) but half the
     FLOPs.
+
+    ``remat=True`` rematerializes the backbone forward in the backward pass
+    (``jax.checkpoint``): no inter-pass residuals live in HBM, at the cost
+    of a second forward's FLOPs. Required to fit P32K4 @160² next to an
+    HBM-resident multi-GB dataset on one 16 GB chip.
     """
     if mining not in ("semi_hard", "batch_hard", "random"):
         raise ValueError(f"unknown mining {mining}")
 
-    def loss_fn(params, batch_stats, images, labels, rng):
-        emb, mutated = model.apply(
+    def forward(params, batch_stats, images, rng):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
             train=True,
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, batch_stats, images, labels, rng):
+        emb, mutated = forward(params, batch_stats, images, rng)
         mined = jax.lax.stop_gradient(emb)
         if mining == "semi_hard":
             ai, pi, ni, valid = mine_semi_hard(mined, labels, margin)
@@ -199,7 +211,9 @@ def make_facenet_train_step(
     return step
 
 
-def make_resident_step(step_fn: Callable) -> Callable:
+def make_resident_step(
+    step_fn: Callable, image_shape: tuple = None
+) -> Callable:
     """Jit a ``(state, images_u8, labels, rng)`` train step as HBM-resident.
 
     The whole uint8 dataset lives on device; each step ships only a (B,)
@@ -208,12 +222,24 @@ def make_resident_step(step_fn: Callable) -> Callable:
     staging buffer in host RSS — CLAUDE.md): one transfer for the whole
     run instead of one per step. Shared by train_synthid and train_facenet
     so the mitigation lives in one place.
+
+    When ``image_shape`` (H, W, C) is given, ``data`` must be FLAT
+    (N, H*W*C): gathering rows of a 2-D array matches the array's natural
+    (8,128)-tiled layout, so XLA gathers in place. Gathering a 4-D
+    (N, H, W, 3) array instead makes XLA materialize a relayouted COPY of
+    the WHOLE dataset inside the step program — measured +10.3 GB (1.6x
+    padding on the channels-minor tile) for the 6.4 GB facenet-9k set,
+    which alone OOMed the chip. The gathered (B, F) batch reshapes to
+    images for free.
     """
 
     def step_resident(state, data, labels_all, idx, rng):
+        batch = jnp.take(data, idx, axis=0)
+        if image_shape is not None:
+            batch = batch.reshape((idx.shape[0],) + tuple(image_shape))
         return step_fn(
             state,
-            jnp.take(data, idx, axis=0),
+            batch,
             jnp.take(labels_all, idx, axis=0),
             rng,
         )

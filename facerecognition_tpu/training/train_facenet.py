@@ -75,6 +75,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "early_stopping_patience": 8,
         "num_devices": "auto",  # data-parallel device count; 1 disables
         "seed": 0,
+        # Rematerialize the backbone in the backward pass: fits big P*K
+        # batches at 160^2 next to an HBM-resident dataset (one fwd of
+        # extra FLOPs for near-zero residual memory).
+        "remat": False,
         # Warm start for phase schedules (semi-hard warmup -> batch-hard
         # finetune): "<ckpt_dir>:<tag>" restores params+batch_stats from a
         # training checkpoint, "<file>.msgpack" from an exported serving
@@ -158,7 +162,10 @@ class FaceNetTrainer:
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
         raw_step = make_facenet_train_step(
-            self.model, margin=t["margin"], mining=t["mining"]
+            self.model,
+            margin=float(t["margin"]),
+            mining=t["mining"],
+            remat=bool(t.get("remat", False)),
         )
         tier = d["augmentation"]
 
@@ -169,7 +176,11 @@ class FaceNetTrainer:
             return raw_step(state, images, labels, rng_step)
 
         self._train_step = jax.jit(step_with_aug, donate_argnums=(0,))
-        self._train_step_resident = make_resident_step(step_with_aug)
+        # Resident data is stored FLAT (N, H*W*3) — see make_resident_step:
+        # row-gather on a 2-D array avoids XLA's whole-dataset relayout copy.
+        self._train_step_resident = make_resident_step(
+            step_with_aug, image_shape=(s, s, 3)
+        )
         self._resident_data = None
 
         def eval_fn(state, images_u8):
@@ -266,7 +277,7 @@ class FaceNetTrainer:
 
         with ThreadPoolExecutor(d["num_workers"]) as ex:
             list(ex.map(_load, range(n)))
-        self._resident_data = jnp.asarray(arr)
+        self._resident_data = jnp.asarray(arr.reshape(n, -1))
         self._resident_labels = jnp.asarray(
             self.train_index.labels, jnp.int32
         )

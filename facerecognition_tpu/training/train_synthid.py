@@ -267,9 +267,14 @@ def train_synthid(config: SynthIdConfig, log=print):
     resident = tr_imgs.nbytes <= config.device_data_budget_bytes
 
     if resident:
-        data_dev = jnp.asarray(tr_imgs)  # uint8, one transfer
+        # FLAT (N, H*W*3): row-gather keeps the array's natural 2-D tiling;
+        # a 4-D gather makes XLA copy+relayout the whole dataset inside the
+        # step program (+60% padded HBM) — see make_resident_step.
+        data_dev = jnp.asarray(tr_imgs.reshape(len(tr_imgs), -1))
         labels_dev = jnp.asarray(tr_labels, jnp.int32)
-        step_fn = make_resident_step(step_with_aug)
+        step_fn = make_resident_step(
+            step_with_aug, image_shape=tr_imgs.shape[1:]
+        )
     else:
         step_fn = jax.jit(step_with_aug, donate_argnums=(0,))
     log(f"batch source: {'HBM-resident' if resident else 'host-streaming'} "
