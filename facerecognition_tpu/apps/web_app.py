@@ -100,24 +100,16 @@ class EngineRegistry:
                     # training/train_facenet.py for FaceNet) so the app
                     # serves real weights out of the box. ArcFace resolves
                     # through the package-wide default (slim-9k preferred).
-                    if model_type == "arcface":
-                        from facerecognition_tpu.inference.extract_embeddings import (  # noqa: E501
-                            default_arcface_checkpoint,
-                        )
+                    from facerecognition_tpu.inference.extract_embeddings import (  # noqa: E501
+                        default_arcface_checkpoint,
+                        default_facenet_checkpoint,
+                    )
 
-                        ckpt = default_arcface_checkpoint()
-                    else:
-                        default = os.path.join(
-                            os.path.dirname(
-                                os.path.dirname(
-                                    os.path.dirname(os.path.abspath(__file__))
-                                )
-                            ),
-                            "assets",
-                            f"{model_type}_synthid_512.msgpack",
-                        )
-                        if os.path.exists(default):
-                            ckpt = default
+                    ckpt = (
+                        default_arcface_checkpoint()
+                        if model_type == "arcface"
+                        else default_facenet_checkpoint()
+                    )
                 if not ckpt or not os.path.exists(ckpt):
                     # No trained weights configured → degrade to the
                     # reference's "Model not loaded" instead of serving
@@ -208,6 +200,23 @@ def _parse_multipart(environ) -> dict[str, list]:
 
 
 def _decode_image(data: bytes) -> Optional[np.ndarray]:
+    """Decode an uploaded image to RGB uint8.
+
+    Hot serving path: the native libjpeg/libpng decoder (native/decode.cpp
+    via data.native_decode.decode_mem) handles JPEG/PNG without PIL's
+    object overhead — the serving load bench is host-decode-bound. PIL
+    remains the fallback for other formats (GIF/BMP/WebP) and when the
+    native library can't be built.
+    """
+    try:
+        from facerecognition_tpu.data import native_decode
+
+        if native_decode.available():
+            img = native_decode.decode_mem(data)
+            if img is not None:
+                return img
+    except Exception:
+        pass
     from PIL import Image
 
     try:

@@ -35,8 +35,12 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_NATIVE_DIR, "decode.cpp")
+        src = os.path.join(_NATIVE_DIR, "decode.cpp")
+        stale = os.path.exists(src) and (
+            not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if not os.path.exists(_LIB_PATH) or stale:
             if not os.path.exists(src):
                 _build_failed = True
                 return None
@@ -70,12 +74,55 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.frt_decode_batch.restype = ctypes.c_int
+        lib.frt_decode_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.frt_decode_mem.restype = ctypes.c_int
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _ensure_built() is not None
+
+
+def decode_mem(data: bytes) -> Optional[np.ndarray]:
+    """Decode a JPEG/PNG byte buffer at native resolution (serving path).
+
+    Returns an (H, W, 3) uint8 RGB array, or None when the payload isn't a
+    decodable JPEG/PNG (the caller falls back to PIL for other formats).
+    """
+    lib = _ensure_built()
+    if lib is None:
+        raise RuntimeError("native decode library unavailable")
+    src = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    # JPEG rarely expands past ~24x its compressed size; retry exactly if so.
+    cap = max(len(data) * 24, 1 << 22)
+    for _ in range(2):
+        dst = np.empty((cap,), np.uint8)
+        rc = lib.frt_decode_mem(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(data),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap,
+            ctypes.byref(w),
+            ctypes.byref(h),
+        )
+        if rc == 1:
+            n = w.value * h.value * 3
+            return dst[:n].reshape(h.value, w.value, 3)
+        if rc == -1:
+            cap = w.value * h.value * 3
+            continue
+        return None
+    return None
 
 
 def decode_batch(

@@ -19,6 +19,7 @@ from facerecognition_tpu.inference.extract_embeddings import (
     extract_embeddings_from_csv,
     full_pipeline,
     default_arcface_checkpoint,
+    default_facenet_checkpoint,
     load_arcface_model,
     load_facenet_model,
     visualize_tsne,
@@ -56,6 +57,7 @@ __all__ = [
     "extract_embedding_single",
     "extract_embeddings_batch",
     "default_arcface_checkpoint",
+    "default_facenet_checkpoint",
     "load_arcface_model",
     "load_facenet_model",
 ]

@@ -170,6 +170,27 @@ def default_arcface_checkpoint() -> Optional[str]:
     return None
 
 
+def default_facenet_checkpoint() -> Optional[str]:
+    """Best shipped FaceNet serving checkpoint, or None.
+
+    Mirrors default_arcface_checkpoint: the 9,343-identity triplet run
+    (two-phase semi-hard → batch-hard, training/train_facenet.py) is
+    preferred over the legacy 2,000-id checkpoint.
+    """
+    assets = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "assets",
+    )
+    for name in (
+        "facenet_synthid9k_512.msgpack",
+        "facenet_synthid_512.msgpack",
+    ):
+        path = os.path.join(assets, name)
+        if os.path.exists(path):
+            return path
+    return None
+
+
 def load_arcface_model(
     checkpoint_path: Optional[str] = None,
     embedding_size: int = 512,

@@ -178,11 +178,24 @@ class LBPHModel:
     def num_patterns(self) -> int:
         return 2**self.neighbors
 
-    def _compute_histograms(self, images) -> np.ndarray:
+    def _compute_histograms(self, images, chunk: int = 4096) -> np.ndarray:
+        """Featurize a stack of grayscale images to (N, F) histograms.
+
+        Chunked so reference-scale sets (the 9,343-id regime is ~75k train
+        images) fit device memory: only one chunk of LBP-code intermediates
+        is live at a time, and all chunks but the ragged tail reuse one
+        compiled graph.
+        """
         arr = np.asarray(images, dtype=np.float32)
         if arr.ndim == 2:
             arr = arr[None]
-        return np.asarray(self._features_batch(jnp.asarray(arr)))
+        if len(arr) <= chunk:
+            return np.asarray(self._features_batch(jnp.asarray(arr)))
+        out = [
+            np.asarray(self._features_batch(jnp.asarray(arr[i : i + chunk])))
+            for i in range(0, len(arr), chunk)
+        ]
+        return np.concatenate(out)
 
     def train(self, images, labels) -> None:
         """(Re)train from a stack of same-size grayscale images."""
@@ -248,16 +261,27 @@ class LBPHModel:
         ranked = sorted(best.items(), key=lambda t: t[1])
         return ranked[:k]
 
-    def predict_batch(self, images) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized prediction: (labels, confidences) for a batch."""
+    def predict_batch(
+        self, images, probe_chunk: int = 512
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized prediction: (labels, confidences) for a batch.
+
+        The scan runs in probe chunks so the (B, N) distance matrix stays
+        bounded at reference scale (N≈75k histograms for the 9,343-id set).
+        """
         if self.histograms is None:
             raise RuntimeError("model not trained")
         feats = self._compute_histograms(images)
-        dists = np.asarray(
-            _chi2_batch(jnp.asarray(feats), jnp.asarray(self.histograms))
-        )
-        best = np.argmin(dists, axis=1)
-        conf = dists[np.arange(len(best)), best]
+        gal = jnp.asarray(self.histograms)
+        best_parts, conf_parts = [], []
+        q = jnp.asarray(feats)
+        for i in range(0, len(feats), probe_chunk):
+            dists = np.asarray(_chi2_batch(q[i : i + probe_chunk], gal))
+            b = np.argmin(dists, axis=1)
+            best_parts.append(b)
+            conf_parts.append(dists[np.arange(len(b)), b])
+        best = np.concatenate(best_parts)
+        conf = np.concatenate(conf_parts)
         labels = np.where(conf < self.threshold, self.labels[best], -1)
         return labels.astype(np.int64), conf.astype(np.float64)
 

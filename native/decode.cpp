@@ -211,6 +211,15 @@ void *batch_worker(void *arg) {
   }
 }
 
+bool decode_any(const uint8_t *data, size_t size, std::vector<uint8_t> *rgb,
+                int *w, int *h) {
+  if (size >= 2 && data[0] == 0xFF && data[1] == 0xD8) {
+    return decode_jpeg(data, size, rgb, w, h);
+  }
+  if (decode_png(data, size, rgb, w, h)) return true;
+  return decode_jpeg(data, size, rgb, w, h);
+}
+
 }  // namespace
 
 extern "C" {
@@ -218,6 +227,27 @@ extern "C" {
 // Decode one file into dst (size*size*3, RGB8). Returns 1 on success.
 int frt_decode_one(const char *path, uint8_t *dst, int size) {
   return decode_file_to(path, dst, size) ? 1 : 0;
+}
+
+// Decode a JPEG/PNG byte buffer at NATIVE resolution (no resize) — the
+// serving-path entry point (web uploads arrive as in-memory bytes, not
+// files; reference decodes per request with PIL, web_app.py:210-217).
+// On success writes w*h*3 RGB8 into dst and returns 1. Returns 0 on a
+// decode failure. Returns -1 when dst_cap is too small, with *w/*h set so
+// the caller can retry with an exact buffer.
+int frt_decode_mem(const uint8_t *data, long size, uint8_t *dst,
+                   long dst_cap, int *w, int *h) {
+  std::vector<uint8_t> rgb;
+  *w = 0;
+  *h = 0;
+  if (size <= 0 || !decode_any(data, static_cast<size_t>(size), &rgb, w, h) ||
+      *w <= 0 || *h <= 0) {
+    return 0;
+  }
+  const long needed = static_cast<long>(*w) * *h * 3;
+  if (needed > dst_cap) return -1;
+  memcpy(dst, rgb.data(), static_cast<size_t>(needed));
+  return 1;
 }
 
 // Decode n files in parallel with n_threads workers.

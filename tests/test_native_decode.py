@@ -85,6 +85,63 @@ class TestNativeDecode:
         assert imgs.shape == (6, 48, 48, 3)
         assert imgs.any()  # actually decoded
 
+    def test_decode_mem_parity_and_fallback(self, rng):
+        """decode_mem (serving path): PNG exact, JPEG == PIL (same libjpeg),
+        grayscale promoted to RGB, garbage -> None, over-cap retry works."""
+        import io
+
+        from PIL import Image
+
+        arr = rng.integers(0, 256, (231, 317, 3), dtype=np.uint8)
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        out = native_decode.decode_mem(buf.getvalue())
+        assert np.array_equal(out, arr)
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+        jpg = buf.getvalue()
+        out = native_decode.decode_mem(jpg)
+        ref = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"))
+        assert out.shape == ref.shape
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 2
+
+        buf = io.BytesIO()
+        Image.fromarray(arr[:, :, 0]).save(buf, format="JPEG")
+        assert native_decode.decode_mem(buf.getvalue()).shape == (231, 317, 3)
+
+        assert native_decode.decode_mem(b"not an image") is None
+
+        # Heavily compressed large flat image: decoded size >> 24x bytes,
+        # exercising the exact-size retry (rc == -1) path.
+        big = np.zeros((2000, 3000, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(big).save(buf, format="JPEG", quality=10)
+        out = native_decode.decode_mem(buf.getvalue())
+        assert out.shape == (2000, 3000, 3)
+
+    def test_web_decode_image_uses_native(self, rng, monkeypatch):
+        """web_app._decode_image prefers the native decoder and falls back
+        to PIL when it declines the payload."""
+        import io
+
+        from PIL import Image
+
+        from facerecognition_tpu.apps import web_app
+
+        arr = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        assert np.array_equal(web_app._decode_image(buf.getvalue()), arr)
+
+        # BMP isn't handled natively -> PIL fallback must still decode it.
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="BMP")
+        assert np.array_equal(web_app._decode_image(buf.getvalue()), arr)
+
+        assert web_app._decode_image(b"junk") is None
+
     def test_native_faster_than_pil(self, tmp_path, rng):
         """Throughput sanity: native batch decode beats the PIL thread pool."""
         import time
