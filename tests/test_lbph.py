@@ -246,3 +246,23 @@ class TestLBPHModel:
         assert ds == sorted(ds)
         # k > n_identities clips
         assert len(model.predict_topk(images[0], k=99)) == 3
+
+    def test_chunked_paths_match_unchunked(self, rng):
+        """Featurize/predict chunking (the reference-scale memory guard,
+        models/lbph.py _compute_histograms/predict_batch) is exact: any
+        chunk size yields identical histograms, labels, and confidences."""
+        images, labels = _synthetic_faces(rng)
+        model = LBPHModel()
+        model.train(images, labels)
+
+        whole = model._compute_histograms(images)
+        for chunk in (1, 4, 7):  # ragged tails included
+            np.testing.assert_array_equal(
+                model._compute_histograms(images, chunk=chunk), whole
+            )
+
+        bl, bc = model.predict_batch(images)
+        for probe_chunk in (1, 4, 7):
+            cl, cc = model.predict_batch(images, probe_chunk=probe_chunk)
+            np.testing.assert_array_equal(cl, bl)
+            np.testing.assert_allclose(cc, bc, rtol=1e-6)

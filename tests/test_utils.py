@@ -40,3 +40,24 @@ def test_visualize_batch(tmp_path, rng):
         augmented=imgs[::-1].copy(),
     )
     assert os.path.exists(out)
+
+
+def test_default_checkpoint_resolvers():
+    """Both serving-default resolvers return shipped, loadable asset paths,
+    and FaceNet's prefers the 9k-scale checkpoint when present (mirrors
+    default_arcface_checkpoint's slim-9k preference)."""
+    import os
+
+    from facerecognition_tpu.inference import (
+        default_arcface_checkpoint,
+        default_facenet_checkpoint,
+    )
+
+    a = default_arcface_checkpoint()
+    f = default_facenet_checkpoint()
+    assert a and os.path.exists(a) and a.endswith(".msgpack")
+    assert f and os.path.exists(f) and f.endswith(".msgpack")
+    if os.path.exists(
+        os.path.join(os.path.dirname(f), "facenet_synthid9k_512.msgpack")
+    ):
+        assert f.endswith("facenet_synthid9k_512.msgpack")
