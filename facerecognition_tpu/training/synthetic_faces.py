@@ -28,6 +28,46 @@ import numpy as np
 
 MAX_GT = 4  # static per-image ground-truth slots (matches train_detector)
 
+
+@dataclasses.dataclass(frozen=True)
+class SceneRanges:
+    """Geometric/photometric sampling ranges for :func:`render_scene`.
+
+    The defaults are the v3 curriculum (what `detector_v3_128` trained on).
+    ``RANGES_V4`` widens exactly the two axes the round-4 OOD eval found
+    under-covered (`docs/OOD_EVAL.json`: pose 88.5%, illumination 87.5%
+    recall): in-plane rotation / face fraction and gain/bias/cast/vignette.
+    The appearance, background and degradation OOD families are
+    intentionally NOT folded in — they stay held-out generality probes.
+    """
+
+    rot: float = 30.0  # max |in-plane rotation| in degrees
+    frac_single: tuple[float, float] = (0.16, 0.80)  # single-face width frac
+    gain: tuple[float, float] = (0.55, 1.35)
+    bias: tuple[float, float] = (-30.0, 45.0)
+    cast: tuple[float, float] = (0.9, 1.1)  # per-channel color gain
+    vignette_p: float = 0.3
+    vignette: tuple[float, float] = (0.25, 0.25)  # directional shade strength
+
+
+RANGES_V3 = SceneRanges()
+RANGES_V4 = SceneRanges(
+    rot=55.0,
+    frac_single=(0.09, 0.92),
+    gain=(0.28, 1.85),
+    bias=(-85.0, 85.0),
+    cast=(0.68, 1.32),
+    vignette_p=0.5,
+    vignette=(0.10, 0.50),
+)
+# "v3+v4": per-scene 50/50 mixture (scene_batch) — consolidation training
+# that keeps v3-envelope density while covering the widened extremes.
+SCENE_RANGES = {
+    "v3": RANGES_V3,
+    "v4": RANGES_V4,
+    "v3+v4": (RANGES_V3, RANGES_V4),
+}
+
 # Canonical landmark layout inside the rendered patch, as fractions of the
 # face half-width r relative to the face center: [left eye, right eye, nose,
 # left mouth corner, right mouth corner]. Matches the ARCFACE_TEMPLATE
@@ -470,12 +510,17 @@ def render_scene(
     max_faces: int = 1,
     p_face: float = 0.92,
     identities: list[FaceParams] | None = None,
+    ranges: SceneRanges | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """One scene: background + 0..max_faces faces + photometric pipeline.
 
     Returns (img (S, S, 3) f32 RGB 0..255, boxes (MAX_GT, 4), lms
-    (MAX_GT, 5, 2), valid (MAX_GT,) bool).
+    (MAX_GT, 5, 2), valid (MAX_GT,) bool). ``ranges`` selects the sampling
+    envelope (default v3; the RNG draw sequence under the default is
+    byte-identical to the pre-SceneRanges generator, so seed-pinned evals
+    and goldens are unaffected).
     """
+    rr = RANGES_V3 if ranges is None else ranges
     max_faces = min(max_faces, MAX_GT)  # GT arrays have MAX_GT slots
     canvas = _background(rng, size)
     boxes = np.zeros((MAX_GT, 4), np.float32)
@@ -502,12 +547,13 @@ def render_scene(
             # faces up to near-full-frame tight crops (a portrait cropped to
             # the head puts the face at ~0.8 of the image — the v3 detector
             # mislocalized those until the curriculum covered them).
-            frac_hi = 0.80 if n == 1 else 0.34
-            frac = rng.uniform(0.16, frac_hi)
+            frac_hi = rr.frac_single[1] if n == 1 else 0.34
+            frac = rng.uniform(rr.frac_single[0], frac_hi)
             scale = frac * size / (2 * patch * 0.27)
-            # ±30°: covers the real-photo robustness matrix's rotation sweep
-            # (docs/DETECTOR.md) — the v2 curriculum stopped at ±22°.
-            rot = rng.uniform(-30, 30)
+            # v3: ±30° covers the real-photo robustness matrix's rotation
+            # sweep (docs/DETECTOR.md); v4 widens to ±55° for the OOD pose
+            # family (the v2 curriculum stopped at ±22°).
+            rot = rng.uniform(-rr.rot, rr.rot)
             # Pick the face-center target in frame coords; the patch center
             # stays fixed under cv2.getRotationMatrix2D, so translate by
             # (target - patch_center).
@@ -557,16 +603,23 @@ def render_scene(
 
     # --- photometric pipeline (applies to the whole scene) -----------------
     # brightness / contrast / color cast
-    gain = rng.uniform(0.55, 1.35)
-    bias = rng.uniform(-30, 45)
-    cast = rng.uniform(0.9, 1.1, 3)
+    gain = rng.uniform(*rr.gain)
+    bias = rng.uniform(*rr.bias)
+    cast = rng.uniform(rr.cast[0], rr.cast[1], 3)
     canvas = canvas * gain * cast[None, None] + bias
     # vignette / directional light
-    if rng.random() < 0.3:
+    if rng.random() < rr.vignette_p:
+        # Degenerate interval skips the draw so the v3 RNG stream is
+        # byte-identical to the pre-SceneRanges generator.
+        strength = (
+            rr.vignette[0]
+            if rr.vignette[0] == rr.vignette[1]
+            else rng.uniform(*rr.vignette)
+        )
         t = np.linspace(-1, 1, size, dtype=np.float32)
         gx, gy = np.meshgrid(t, t)
         direction = rng.uniform(-1, 1, 2)
-        shade = 1 + 0.25 * (gx * direction[0] + gy * direction[1])
+        shade = 1 + strength * (gx * direction[0] + gy * direction[1])
         canvas = canvas * shade[..., None]
     # blur (defocus / motion approximation)
     if rng.random() < 0.45:
@@ -598,15 +651,22 @@ def scene_batch(
     max_faces: int = 1,
     p_face: float = 0.92,
     identities: list[FaceParams] | None = None,
+    ranges: SceneRanges | tuple[SceneRanges, ...] | None = None,
 ):
-    """Batched :func:`render_scene` — drop-in for detector training."""
+    """Batched :func:`render_scene` — drop-in for detector training.
+
+    ``ranges`` may be a tuple of envelopes: each scene then draws one
+    uniformly (the "v3+v4" consolidation mixture).
+    """
     imgs = np.empty((batch, size, size, 3), np.float32)
     boxes = np.empty((batch, MAX_GT, 4), np.float32)
     lms = np.empty((batch, MAX_GT, 5, 2), np.float32)
     valid = np.empty((batch, MAX_GT), bool)
+    pool = ranges if isinstance(ranges, (tuple, list)) else None
     for b in range(batch):
+        rr = pool[int(rng.integers(0, len(pool)))] if pool else ranges
         imgs[b], boxes[b], lms[b], valid[b] = render_scene(
-            rng, size, max_faces, p_face, identities
+            rng, size, max_faces, p_face, identities, rr
         )
     return imgs, boxes, lms, valid
 

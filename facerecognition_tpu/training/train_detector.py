@@ -274,6 +274,7 @@ class CurriculumConfig:
     p_face: float = 0.92
     prefetch_threads: int = 4
     arch: str = "blaze"  # see models.detector_net.DETECTOR_ARCHS
+    ranges: str = "v3"  # see synthetic_faces.SCENE_RANGES (v4 = wide OOD)
 
 
 def train_detector_curriculum(
@@ -295,7 +296,12 @@ def train_detector_curriculum(
     import threading
 
     from facerecognition_tpu.models.detector_net import build_detector_net
-    from facerecognition_tpu.training.synthetic_faces import scene_batch
+    from facerecognition_tpu.training.synthetic_faces import (
+        SCENE_RANGES,
+        scene_batch,
+    )
+
+    scene_ranges = SCENE_RANGES[config.ranges]
 
     net = build_detector_net(config.arch)
     anchors = jnp.asarray(anchor_centers(config.input_size))
@@ -331,6 +337,7 @@ def train_detector_curriculum(
                     config.input_size,
                     config.max_faces,
                     config.p_face,
+                    ranges=scene_ranges,
                 )
                 while not stop.is_set():
                     try:
@@ -395,9 +402,12 @@ def evaluate_detector(
     size: int | None = None,
     max_faces: int = 2,
     iou_match: float = 0.5,
+    ranges=None,
 ) -> dict:
     """Detection quality on held-out v2 scenes: recall@IoU, mean matched
     IoU, landmark error (fraction of face width), false positives/image.
+    ``ranges`` (a synthetic_faces.SceneRanges) selects the scene sampling
+    envelope; default = v3, so historical seed-777 numbers stay comparable.
 
     The quality metric the reference never had for its detector backends
     (face_detector.py:465-534 only measures latency).
@@ -409,9 +419,11 @@ def evaluate_detector(
     n_gt = n_match = n_fp = 0
     iou_sum = 0.0
     lm_err_sum = 0.0
+    pool = ranges if isinstance(ranges, (tuple, list)) else None
     for _ in range(n_scenes):
+        rr = pool[int(rng.integers(0, len(pool)))] if pool else ranges
         img, gt_boxes, gt_lms, gt_valid = render_scene(
-            rng, size, max_faces, p_face=0.92
+            rng, size, max_faces, p_face=0.92, ranges=rr
         )
         dets = detector.detect_all(img.astype(np.uint8))
         gt = gt_boxes[gt_valid]
@@ -455,6 +467,7 @@ def fit_score_calibration(
     seed: int = 555,
     max_faces: int = 2,
     iou_match: float = 0.5,
+    ranges=None,
 ) -> tuple[float, float]:
     """Platt-scale the detector's confidence on held-out scenes.
 
@@ -476,9 +489,11 @@ def fit_score_calibration(
     detector._calibration = None  # fit on RAW scores
     zs, ys = [], []
     try:
+        pool = ranges if isinstance(ranges, (tuple, list)) else None
         for _ in range(n_scenes):
+            rr = pool[int(rng.integers(0, len(pool)))] if pool else ranges
             img, gt_boxes, _, gt_valid = render_scene(
-                rng, detector.input_size, max_faces, p_face=0.8
+                rng, detector.input_size, max_faces, p_face=0.8, ranges=rr
             )
             gt = gt_boxes[gt_valid]
             taken = np.zeros(len(gt), bool)

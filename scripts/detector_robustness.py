@@ -62,7 +62,11 @@ def variants(img):
     """Yield (group, name, image, gt_box) transform cases."""
     h, w = img.shape[:2]
     yield "baseline", "original", img, GT_BOX
-    for deg in (-30, -15, 15, 30):
+    # ±45° probes the v4 curriculum's widened rotation range (v3 trained
+    # to ±30°); the GT box of a rotated face grows under axis-aligned
+    # re-boxing, so IoU is structurally lower at 45° even for a perfect
+    # detection.
+    for deg in (-45, -30, -15, 15, 30, 45):
         m = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0)
         out = cv2.warpAffine(img, m, (w, h), borderMode=cv2.BORDER_REFLECT)
         yield "rotation", f"{deg:+d}°", out, _transform_box(GT_BOX, m)

@@ -152,6 +152,16 @@ def main():
     ap.add_argument("--ids", type=int, default=100)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--out", default=os.path.join(_REPO, "docs", "OOD_EVAL.json"))
+    ap.add_argument(
+        "--weights",
+        default=None,
+        help="detector checkpoint (default: shipped serving default)",
+    )
+    ap.add_argument(
+        "--detector-only",
+        action="store_true",
+        help="skip the embedder eval (fast detector A/B)",
+    )
     args = ap.parse_args()
 
     from facerecognition_tpu.utils.compile_cache import enable_compile_cache
@@ -162,8 +172,10 @@ def main():
     from facerecognition_tpu.training.ood_faces import OOD_FAMILIES
     from facerecognition_tpu.training.synthetic_faces import render_scene
 
-    det = FaceDetector(confidence_threshold=0.5)
+    det = FaceDetector(weights=args.weights, confidence_threshold=0.5)
     report = {"detector": {}, "size": args.size}
+    if args.weights:
+        report["detector_weights"] = os.path.basename(args.weights)
 
     # In-distribution control row: same eval code on held-out seeds of the
     # TRAINING generator, so the OOD deltas have a denominator.
@@ -190,8 +202,9 @@ def main():
         report["detector"][family] = r
         log(f"{family}: {r}")
 
-    report["embedder_ood_appearance"] = eval_embedder_ood(args.ids)
-    log(f"embedder: {report['embedder_ood_appearance']}")
+    if not args.detector_only:
+        report["embedder_ood_appearance"] = eval_embedder_ood(args.ids)
+        log(f"embedder: {report['embedder_ood_appearance']}")
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -5,6 +5,10 @@ import pytest
 
 from facerecognition_tpu.training.synthetic_faces import (
     MAX_GT,
+    RANGES_V3,
+    RANGES_V4,
+    SCENE_RANGES,
+    SceneRanges,
     identity_dataset,
     render_aligned_identity_sample,
     render_scene,
@@ -87,6 +91,44 @@ class TestIdentities:
         # deterministic across calls (seeded per (seed, id, k))
         imgs2, _ = identity_dataset(4, 3, out_size=64, seed=1, workers=4)
         np.testing.assert_array_equal(imgs, imgs2)
+
+    def test_default_ranges_are_v3_and_stream_stable(self):
+        """Passing no ranges must sample the v3 envelope with the exact
+        same RNG draw sequence as ranges=RANGES_V3 (seed-pinned evals and
+        the held-out-seed quality numbers depend on this)."""
+        assert SceneRanges() == RANGES_V3
+        assert SCENE_RANGES["v3"] is RANGES_V3
+        assert SCENE_RANGES["v4"] is RANGES_V4
+        a = render_scene(np.random.default_rng(11), 96, 2, 0.92)
+        b = render_scene(np.random.default_rng(11), 96, 2, 0.92, ranges=RANGES_V3)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_v4_ranges_widen_pose_and_illumination_only(self):
+        """v4 is a strict superset on rotation/fraction/photometrics so a
+        v3-warm-started detector keeps its in-distribution competence; the
+        appearance/background/degradation OOD axes are untouched by it."""
+        assert RANGES_V4.rot > RANGES_V3.rot
+        assert RANGES_V4.frac_single[0] < RANGES_V3.frac_single[0]
+        assert RANGES_V4.frac_single[1] > RANGES_V3.frac_single[1]
+        assert RANGES_V4.gain[0] < RANGES_V3.gain[0] < RANGES_V3.gain[1] < RANGES_V4.gain[1]
+        assert RANGES_V4.bias[0] < RANGES_V3.bias[0] < RANGES_V3.bias[1] < RANGES_V4.bias[1]
+        assert RANGES_V4.cast[0] < RANGES_V3.cast[0] < RANGES_V3.cast[1] < RANGES_V4.cast[1]
+        # v4 must cover the OOD pose/illumination family extremes
+        # (training/ood_faces.py: rot <=50, frac 0.10..0.90, gain
+        # 0.30..1.80, bias +-80, cast 0.70..1.30).
+        assert RANGES_V4.rot >= 50
+        assert RANGES_V4.frac_single[0] <= 0.10 and RANGES_V4.frac_single[1] >= 0.90
+        assert RANGES_V4.gain[0] <= 0.30 and RANGES_V4.gain[1] >= 1.80
+        assert RANGES_V4.bias[0] <= -80 and RANGES_V4.bias[1] >= 80
+        assert RANGES_V4.cast[0] <= 0.70 and RANGES_V4.cast[1] >= 1.30
+        assert RANGES_V4.vignette[1] >= 0.45
+        # scene contract holds under the wide envelope
+        imgs, boxes, lms, valid = scene_batch(
+            np.random.default_rng(12), 4, 96, 2, 0.92, ranges=RANGES_V4
+        )
+        assert imgs.shape == (4, 96, 96, 3)
+        assert imgs.min() >= 0 and imgs.max() <= 255
 
     @pytest.mark.slow
     def test_pixel_separability(self):
