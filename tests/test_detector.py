@@ -175,7 +175,7 @@ class TestScoreCalibration:
         # Patch render_scene to always put one GT at [10,10,50,50].
         import facerecognition_tpu.training.synthetic_faces as sf
 
-        def fake_render(rng_, size, max_faces, p_face=0.8):
+        def fake_render(rng_, size, max_faces, p_face=0.8, ranges=None):
             boxes = np.zeros((4, 4), np.float32)
             boxes[0] = [10, 10, 50, 50]
             valid = np.zeros(4, bool)
