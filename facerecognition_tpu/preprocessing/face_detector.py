@@ -40,9 +40,13 @@ from facerecognition_tpu.utils.imageio import load_image
 from facerecognition_tpu.utils.serialization import load_variables
 
 
-#: Shipped checkpoints in preference order: the MXU-dense robustness-trained
-#: v3, then the v2 curriculum detector, then the round-1 synthetic-blob one.
+#: Shipped checkpoints in preference order: the v4 wide-envelope detector
+#: (RANGES_V4 pose/illumination curriculum — OOD pose 99.0% / illumination
+#: 96.5% vs v3's 88.5% / 87.5%, docs/DETECTOR.md), then the MXU-dense
+#: robustness-trained v3, then the v2 curriculum detector, then the round-1
+#: synthetic-blob one.
 DEFAULT_CHECKPOINTS = (
+    "detector_v4_128.msgpack",
     "detector_v3_128.msgpack",
     "detector_v2_128.msgpack",
     "detector_synthetic_128.msgpack",

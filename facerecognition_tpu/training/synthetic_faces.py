@@ -547,8 +547,14 @@ def render_scene(
             # faces up to near-full-frame tight crops (a portrait cropped to
             # the head puts the face at ~0.8 of the image — the v3 detector
             # mislocalized those until the curriculum covered them).
-            frac_hi = rr.frac_single[1] if n == 1 else 0.34
-            frac = rng.uniform(rr.frac_single[0], frac_hi)
+            # Multi-face scenes keep the v3 fraction window (0.16-0.34)
+            # regardless of envelope: frac_single widens only the
+            # single-face range, so v4's 0.09 floor must not leak into
+            # crowd-scene statistics (ADVICE r4).
+            frac_lo, frac_hi = (
+                rr.frac_single if n == 1 else (0.16, 0.34)
+            )
+            frac = rng.uniform(frac_lo, frac_hi)
             scale = frac * size / (2 * patch * 0.27)
             # v3: ±30° covers the real-photo robustness matrix's rotation
             # sweep (docs/DETECTOR.md); v4 widens to ±55° for the OOD pose

@@ -151,7 +151,13 @@ def main():
     ap.add_argument("--scenes", type=int, default=200)
     ap.add_argument("--ids", type=int, default=100)
     ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--out", default=os.path.join(_REPO, "docs", "OOD_EVAL.json"))
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="output JSON (default: docs/OOD_EVAL.json for the canonical "
+        "full run; A/B runs with --weights/--detector-only default to a "
+        "separate file so they can't clobber the committed table)",
+    )
     ap.add_argument(
         "--weights",
         default=None,
@@ -163,6 +169,17 @@ def main():
         help="skip the embedder eval (fast detector A/B)",
     )
     args = ap.parse_args()
+
+    if args.out is None:
+        if args.weights or args.detector_only:
+            tag = (
+                os.path.splitext(os.path.basename(args.weights))[0]
+                if args.weights
+                else "default"
+            )
+            args.out = os.path.join(_REPO, "docs", f"OOD_EVAL_{tag}.json")
+        else:
+            args.out = os.path.join(_REPO, "docs", "OOD_EVAL.json")
 
     from facerecognition_tpu.utils.compile_cache import enable_compile_cache
 

@@ -51,33 +51,66 @@ def test_batch_contract():
     assert valid[:, 0].all()
 
 
+# Per-family recall floors for the shipped default detector (v4), pinned
+# just under its measured recall on the canonical 200-scene eval
+# (docs/OOD_EVAL.json: in-dist 99.0 / pose 99.0 / illumination 96.5 /
+# appearance 100 / background 100 / degradation 99.5).  The scene sets
+# below are seeded, so each floor guards a *deterministic* scene set —
+# a floor 2-3 scenes under the measured value fails on any real
+# regression without binomial flakiness.
+_RECALL_FLOORS = {
+    None: 0.94,  # in-distribution control (training-range scenes)
+    "pose": 0.90,
+    "illumination": 0.88,
+    "appearance": 0.94,
+    "background": 0.94,
+    "degradation": 0.94,
+}
+
+
+def _recall(det, family, n=50, size=192, seed=3):
+    from facerecognition_tpu.training.synthetic_faces import render_scene
+
+    rng = np.random.default_rng(seed)
+    hits = scored = 0
+    for _ in range(n):
+        if family is None:
+            img, boxes, _, valid = render_scene(rng, size)
+            if valid.sum() != 1:  # control uses single-face scenes only
+                continue
+        else:
+            img, boxes, _, _ = ood_render_scene(rng, size, family)
+        scored += 1
+        gt = np.clip(boxes[0], 0, size)
+        for f in det.detect_all(img):
+            b = np.clip(np.asarray(f["bbox"], np.float32), 0, size)
+            ix1, iy1 = max(b[0], gt[0]), max(b[1], gt[1])
+            ix2, iy2 = min(b[2], gt[2]), min(b[3], gt[3])
+            inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+            ua = (
+                (b[2] - b[0]) * (b[3] - b[1])
+                + (gt[2] - gt[0]) * (gt[3] - gt[1])
+                - inter
+            )
+            if inter / max(ua, 1e-9) >= 0.5:
+                hits += 1
+                break
+    return hits, scored
+
+
 @pytest.mark.slow
-def test_detector_recall_floor_on_mild_ood():
-    """Generality regression: the shipped detector must keep >=80% recall
-    on the mildest OOD families (background, degradation) — a drop below
-    that on scenes whose faces are IN-distribution means the detector
-    keyed on the training backgrounds/photometrics, not on faces."""
+def test_detector_recall_floor_all_families():
+    """Generality regression: the shipped detector must hold near its
+    measured recall on EVERY OOD family plus the in-distribution control
+    (VERDICT r4 weak #3: the old 80% mild-only floor let a 19pp
+    regression pass, and pose/illumination had no floor at all)."""
     from facerecognition_tpu.preprocessing.face_detector import FaceDetector
 
     det = FaceDetector(confidence_threshold=0.5)
-    rng = np.random.default_rng(3)
-    for family in ("background", "degradation"):
-        hits = 0
-        n = 25
-        for _ in range(n):
-            img, boxes, _, _ = ood_render_scene(rng, 192, family)
-            gt = np.clip(boxes[0], 0, 192)
-            for f in det.detect_all(img):
-                b = np.clip(np.asarray(f["bbox"], np.float32), 0, 192)
-                ix1, iy1 = max(b[0], gt[0]), max(b[1], gt[1])
-                ix2, iy2 = min(b[2], gt[2]), min(b[3], gt[3])
-                inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
-                ua = (
-                    (b[2] - b[0]) * (b[3] - b[1])
-                    + (gt[2] - gt[0]) * (gt[3] - gt[1])
-                    - inter
-                )
-                if inter / max(ua, 1e-9) >= 0.5:
-                    hits += 1
-                    break
-        assert hits / n >= 0.8, f"{family} recall {hits}/{n}"
+    failures = []
+    for family, floor in _RECALL_FLOORS.items():
+        hits, n = _recall(det, family)
+        name = family or "in_distribution_control"
+        if hits < floor * n:
+            failures.append(f"{name}: {hits}/{n} < floor {floor}")
+    assert not failures, "; ".join(failures)
