@@ -100,7 +100,11 @@ def build_pipeline(max_faces: int = 1):
     )
     from facerecognition_tpu.ops.image import normalize_imagenet_style
     from facerecognition_tpu.ops.matcher import auto_cosine_topk, l2_normalize
-    from facerecognition_tpu.ops.warp_mxu import align_crop_mxu_batch, bilinear_resize_mxu_batch
+    from facerecognition_tpu.ops.warp_mxu import (
+        align_crop_mxu_batch,
+        align_crop_mxu_window,
+        bilinear_resize_mxu_batch,
+    )
 
     DET_SIZE = 128
 
@@ -134,12 +138,22 @@ def build_pipeline(max_faces: int = 1):
             _, lms, det_scores, _ = detect_faces_batch(
                 raw, anchors, 0.3, max_faces
             )  # lms (B, M, 5, 2), det_scores (B, M)
-            lm = jnp.clip(lms * (h / DET_SIZE), 0.0, h - 1.0).reshape(
-                bsz * max_faces, 5, 2
-            )
-            align_frames = jnp.repeat(frames, max_faces, axis=0)
+            lm = jnp.clip(lms * (h / DET_SIZE), 0.0, h - 1.0)  # (B, M, 5, 2)
         # --- align → embed → match ----------------------------------------
-        aligned = align_crop_mxu_batch(align_frames, lm, 112, True)
+        if max_faces == 1:
+            aligned = align_crop_mxu_batch(frames, lm, 112, True)
+        elif h > 160:
+            # Static-window crop per slot, then warp: kills the M-fold frame
+            # repeat and shrinks the warp-weight working set (H·W)/160² —
+            # same path the fused serving graph takes (engine._build_fused).
+            aligned = align_crop_mxu_window(frames, lm, 112, 160, True)
+        else:
+            aligned = align_crop_mxu_batch(
+                jnp.repeat(frames, max_faces, axis=0),
+                lm.reshape(bsz * max_faces, 5, 2),
+                112,
+                True,
+            )
         x = normalize_imagenet_style(aligned)
         emb = model.apply(variables, x)
         emb = l2_normalize(emb.astype(jnp.float32))

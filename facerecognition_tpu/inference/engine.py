@@ -26,6 +26,14 @@ from facerecognition_tpu.ops.image import align_crop, crop_with_margin
 from facerecognition_tpu.ops.matcher import auto_cosine_topk, l2_normalize
 from facerecognition_tpu.utils.imageio import load_image
 
+#: Crowd-path (max_faces > 1) per-slot crop window. Must cover the sampled
+#: source region of the largest crowd face: the curriculum contract caps
+#: multi-face faces at 0.34 of the frame (training/synthetic_faces.py), so
+#: a 0.34·256 ≈ 87px face samples ~120px with rotation margin — 160 is safe
+#: for frames up to ~470² (0.34·470·1.4 ≈ 160). Exactness parity with the
+#: full-frame warp is pinned in tests/test_warp_mxu.py.
+_CROWD_WINDOW = 160
+
 
 class Gallery:
     """Device-resident identity gallery: (N, D) normalized matrix + names.
@@ -523,6 +531,7 @@ class RecognitionEngine:
         from facerecognition_tpu.ops.image import normalize_imagenet_style
         from facerecognition_tpu.ops.warp_mxu import (
             align_crop_mxu_batch,
+            align_crop_mxu_window,
             bilinear_resize_mxu_batch,
         )
 
@@ -565,8 +574,25 @@ class RecognitionEngine:
                 lms * scale, 0.0, jnp.array([w - 1.0, h - 1.0])
             ).reshape(bsz * max_faces, 5, 2)
             boxes = boxes * jnp.tile(scale, 2)  # frame-pixel coords
-            rep = jnp.repeat(frames, max_faces, axis=0)
-            aligned = align_crop_mxu_batch(rep, lm, size, True)
+            if max_faces > 1 and min(h, w) > _CROWD_WINDOW:
+                # Crowd path: static-window crop per slot, then warp. The
+                # two-pass warp's interpolation-weight tensors scale with
+                # frame H·W, so warping M slots from full 256² frames (plus
+                # the M-fold frame repeat buffer) was the measured M=8
+                # bottleneck (docs/PROFILE.md). Cropping a 160² window around
+                # each face first is exact for the crowd contract (faces
+                # ≤0.34 of the frame — parity test in test_warp_mxu.py) and
+                # cuts the weight working set (H·W)/160² ≈ 2.56× at 256².
+                aligned = align_crop_mxu_window(
+                    frames,
+                    lm.reshape(bsz, max_faces, 5, 2),
+                    size,
+                    _CROWD_WINDOW,
+                    True,
+                )
+            else:
+                rep = jnp.repeat(frames, max_faces, axis=0)
+                aligned = align_crop_mxu_batch(rep, lm, size, True)
             x = normalize_imagenet_style(aligned)
             emb = self.embedder.model.apply(emb_vars, x)
             emb = emb / jnp.maximum(

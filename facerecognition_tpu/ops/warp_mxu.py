@@ -209,3 +209,71 @@ def align_crop_mxu_batch(
     # chunk=32: ~2% faster than 16 at B=256/160² (fewer lax.map steps) with
     # a ~367 MB f32 per-pass weight working set — still far from HBM limits.
     return affine_warp_mxu_batch(images, ms, out_size, out_size, 32, fast)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def align_crop_mxu_window(
+    frames: jax.Array,
+    landmarks: jax.Array,
+    out_size: int = 112,
+    window: int = 160,
+    fast: bool = False,
+) -> jax.Array:
+    """Multi-face alignment: static-window crop per slot, then warp.
+
+    The naive crowd path repeats every frame M times and two-pass-warps
+    each slot from the FULL frame, so the pass-1 interpolation weights
+    scale with (frame_W × frame_H): (chunk, 256, out, 256) f32 ≈ 29 MB
+    per image for 256² frames — the measured M=8 bottleneck
+    (docs/PROFILE.md). This variant first extracts a static ``window``²
+    region centered on each face's sampled area with per-slot
+    ``lax.dynamic_slice`` (block DMA, no per-pixel gather), then warps
+    from the crop — the weight tensor shrinks by (H·W)/(window²)
+    (2.56× for 256²→160) and the M-fold frame ``repeat`` buffer
+    disappears.
+
+    Exactness: identical to the full-frame warp for every output pixel
+    whose source sample lies inside the window; samples outside it read
+    the constant-black border instead of far-away background pixels. The
+    window is centered on the inverse-affine image of the output center,
+    so only the corners of very large rotated faces are affected (crowd
+    faces are ≤0.34 of the frame by curriculum contract —
+    training/synthetic_faces.py).
+
+    Args:
+      frames: (B, H, W, C) frame batch.
+      landmarks: (B, M, 5, 2) per-slot 5-point landmarks, frame coords.
+      out_size, window: static sizes; window is clamped to min(H, W).
+      fast: bf16 einsum operands (see ``affine_warp_mxu_batch``).
+
+    Returns:
+      (B·M, out_size, out_size, C) float32 aligned crops, slot-major per
+      frame (same layout as the repeat+warp path it replaces).
+    """
+    b, h, w, c = frames.shape
+    m = landmarks.shape[1]
+    win = min(window, h, w)
+    frames = frames.astype(jnp.float32)
+    lm = landmarks.astype(jnp.float32).reshape(b * m, 5, 2)
+
+    template = jnp.asarray(ARCFACE_TEMPLATE) * (out_size / 112.0)
+    ms = umeyama_batch(lm, template)  # (B·M, 2, 3) source→output
+    minv = jax.vmap(invert_affine)(ms)  # output→source
+    ctr = jnp.array([(out_size - 1) / 2.0, (out_size - 1) / 2.0, 1.0])
+    src_ctr = minv @ ctr  # (B·M, 2) sampled-region center (x, y)
+    start = jnp.round(src_ctr - (win - 1) / 2.0).astype(jnp.int32)
+    x0 = jnp.clip(start[:, 0], 0, w - win).reshape(b, m)
+    y0 = jnp.clip(start[:, 1], 0, h - win).reshape(b, m)
+
+    def slice_one(frame, yy, xx):
+        return jax.lax.dynamic_slice(frame, (yy, xx, 0), (win, win, c))
+
+    crops = jax.vmap(  # over frames
+        jax.vmap(slice_one, in_axes=(None, 0, 0))  # over slots
+    )(frames, y0, x0).reshape(b * m, win, win, c)
+
+    # Cropping translates source coords by -(x0, y0): dst = A·src + t
+    # becomes dst = A·src' + (A·offset + t).
+    off = jnp.stack([x0.reshape(-1), y0.reshape(-1)], -1).astype(jnp.float32)
+    ms_c = ms.at[:, :, 2].add(jnp.einsum("bij,bj->bi", ms[:, :, :2], off))
+    return affine_warp_mxu_batch(crops, ms_c, out_size, out_size, 32, fast)

@@ -74,6 +74,56 @@ def test_chunked_batch_equals_small_batch(rng):
     assert full.shape == (18, 32, 32, 3)
 
 
+def test_window_crop_matches_full_frame_warp(rng):
+    """Crowd-path window warp == repeat+full-frame warp when every
+    sampled pixel lies inside the 160² window (the crowd contract:
+    faces <= 0.34 of the frame)."""
+    from facerecognition_tpu.ops.warp_mxu import align_crop_mxu_window
+
+    b, m = 2, 3
+    imgs = np.stack([_smooth(rng, (256, 256, 3)) for _ in range(b)])
+    theta = 0.25
+    rot = np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    # Small faces (template * 0.7 ≈ 66px spread) scattered over the frame.
+    centers = rng.uniform(60, 196, size=(b, m, 1, 2)).astype(np.float32)
+    base = (np.asarray(ARCFACE_TEMPLATE) - np.asarray(ARCFACE_TEMPLATE).mean(0)) @ rot.T
+    lm = (base[None, None] * 0.7 + centers).astype(np.float32)
+
+    full = np.asarray(
+        align_crop_mxu_batch(
+            jnp.repeat(jnp.asarray(imgs), m, axis=0),
+            jnp.asarray(lm.reshape(b * m, 5, 2)),
+            112,
+        )
+    )
+    win = np.asarray(
+        align_crop_mxu_window(jnp.asarray(imgs), jnp.asarray(lm), 112, 160)
+    )
+    assert win.shape == (b * m, 112, 112, 3)
+    np.testing.assert_allclose(win, full, atol=1e-2)
+
+
+def test_window_crop_clamps_at_frame_edge(rng):
+    """A face whose window would extend past the frame boundary still
+    aligns correctly (the slice start is clamped, the affine offset
+    compensates)."""
+    from facerecognition_tpu.ops.warp_mxu import align_crop_mxu_window
+
+    imgs = np.stack([_smooth(rng, (256, 256, 3))])
+    # Face centered near the (0, 0) corner.
+    base = np.asarray(ARCFACE_TEMPLATE) - np.asarray(ARCFACE_TEMPLATE).mean(0)
+    lm = (base * 0.7 + 40.0).astype(np.float32)[None, None]
+    full = np.asarray(
+        align_crop_mxu_batch(jnp.asarray(imgs), jnp.asarray(lm[:, 0]), 112)
+    )
+    win = np.asarray(
+        align_crop_mxu_window(jnp.asarray(imgs), jnp.asarray(lm), 112, 160)
+    )
+    np.testing.assert_allclose(win, full, atol=1e-2)
+
+
 def test_mxu_resize_matches_gather_resize(rng):
     import jax.numpy as jnp
 
