@@ -139,6 +139,19 @@ class FaceDetector:
                 load_detector_checkpoint(weights)
             )
             self.net = build_detector_net(arch, dtype)
+            if self._calibration is None:
+                # Focal-loss training deflates raw sigmoids; without the
+                # in-checkpoint Platt (a, b) an absolute threshold like the
+                # 0.5 default reads far too strict and recall collapses.
+                import warnings
+
+                warnings.warn(
+                    "detector checkpoint has no 'calibration' key: raw "
+                    "focal-loss scores are deflated, so absolute "
+                    "confidence thresholds will under-detect. Fit one via "
+                    "training.train_detector.fit_score_calibration.",
+                    stacklevel=2,
+                )
         self.arch = arch
         self.anchors = jnp.asarray(anchor_centers(input_size))
 
