@@ -1,13 +1,25 @@
-"""Realtime latency benchmark: p50/p95 per-frame latency, 720p stream.
+"""Realtime benchmark: per-frame device latency + MJPEG loop fps.
 
-Measures the BASELINE.json realtime config ("720p video stream
-detect→embed→match at 30 fps"): single-frame (batch=1) pipeline latency with
-a TRUE sequential dependency — each frame's processing consumes the previous
-frame's result inside one lax.scan, so the measured time is genuine
-per-frame latency (pipelining across frames cannot hide it), immune to this
-environment's untrustworthy dispatch timing.
+Two modes:
+
+1. Default — device per-frame latency for the BASELINE.json realtime
+   config ("720p video stream detect→embed→match at 30 fps"):
+   single-frame (batch=1) pipeline latency with a TRUE sequential
+   dependency — each frame's processing consumes the previous frame's
+   result inside one lax.scan, so the measured time is genuine per-frame
+   latency (pipelining across frames cannot hide it), immune to this
+   environment's untrustworthy dispatch timing. Uses the shipped serving
+   weights (detector + ArcFace checkpoint) when present.
+
+2. ``--mjpeg`` — the full streaming loop the reference serves at ~2 fps
+   effective (its generate_frames sleeps 0.5 s between recognitions,
+   /root/reference/web_app.py:1027-1029): apps.realtime.
+   RealtimeRecognizer over a pre-rendered frame ring → recognize worker
+   (fused TPU dispatch) + overlay + JPEG encode. Reports MJPEG stream
+   fps and recognizer dispatches/s on this host.
 
 Usage: python examples/realtime_bench.py [--frames 64] [--height 720]
+       python examples/realtime_bench.py --mjpeg [--frames 256]
 """
 
 import os
@@ -28,16 +40,26 @@ def main(argv=None):
     parser.add_argument("--height", type=int, default=720)
     parser.add_argument("--width", type=int, default=1280)
     parser.add_argument("--gallery", type=int, default=10_000)
+    parser.add_argument("--mjpeg", action="store_true",
+                        help="measure the end-to-end MJPEG streaming loop "
+                        "(RealtimeRecognizer) instead of device latency")
     args = parser.parse_args(argv)
+
+    if args.mjpeg:
+        return mjpeg_bench(args)
 
     import jax
     import jax.numpy as jnp
 
     from facerecognition_tpu.models.arcface import ArcFaceModel
     from facerecognition_tpu.models.detector_net import (
-        BlazeFaceNet,
         anchor_centers,
+        build_detector_net,
         detect_best_face,
+    )
+    from facerecognition_tpu.inference.extract_embeddings import (
+        default_arcface_checkpoint,
+        load_arcface_checkpoint,
     )
     from facerecognition_tpu.ops.image import normalize_imagenet_style
     from facerecognition_tpu.ops.matcher import cosine_topk, l2_normalize
@@ -45,14 +67,29 @@ def main(argv=None):
         align_crop_mxu_batch,
         bilinear_resize_mxu_batch,
     )
+    from facerecognition_tpu.preprocessing.face_detector import FaceDetector
     from facerecognition_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     DET = 128
-    model = ArcFaceModel(embedding_size=512, dtype=jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
-    det_net = BlazeFaceNet()
-    det_vars = det_net.init(jax.random.PRNGKey(1), jnp.zeros((1, DET, DET, 3)))
+    # Serving weights when shipped (honest trained-pipeline latency);
+    # random init only as the asset-free CI fallback.
+    ckpt = default_arcface_checkpoint()
+    if ckpt:
+        model, variables = load_arcface_checkpoint(ckpt)
+    else:
+        model = ArcFaceModel(embedding_size=512, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3))
+        )
+    try:
+        _det = FaceDetector(input_size=DET)
+        det_net, det_vars = _det.net, _det.variables
+    except Exception:
+        det_net = build_detector_net("blaze")
+        det_vars = det_net.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, DET, DET, 3))
+        )
     anchors = jnp.asarray(anchor_centers(DET))
 
     h, w = args.height, args.width
@@ -113,6 +150,97 @@ def main(argv=None):
                 "meets_30fps": per_frame_ms < 33.3,
             }
         )
+    )
+
+
+def mjpeg_bench(args):
+    """End-to-end MJPEG loop fps on this host (reference ≈ 2 fps).
+
+    Pre-renders a small frame ring (so frame GENERATION cost is excluded
+    — a camera delivers frames for free; the synthetic generator does
+    not), then consumes ``--frames`` JPEG frames from
+    ``RealtimeRecognizer.frames()`` with the recognize worker hitting the
+    TPU via the fused path. The stream loop (copy + overlay + JPEG
+    encode) and the recognizer run concurrently, as in serving.
+    """
+    import jax  # noqa: F401  (device init before engine build)
+
+    from facerecognition_tpu.apps.realtime import RealtimeRecognizer
+    from facerecognition_tpu.inference.engine import RecognitionEngine
+    from facerecognition_tpu.preprocessing.face_detector import FaceDetector
+    from facerecognition_tpu.training.train_detector import (
+        synthetic_face_batch,
+    )
+    from facerecognition_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    class RingFrameSource:
+        def __init__(self, n=32, height=480, width=640):
+            rng = np.random.default_rng(0)
+            side = min(height, width)
+            imgs, _, _, _ = synthetic_face_batch(rng, n, side, p_face=1.0)
+            self.frames = np.zeros((n, height, width, 3), np.uint8)
+            self.frames[:, :side, :side] = imgs.astype(np.uint8)
+            self.i = 0
+
+        def read(self):
+            f = self.frames[self.i % len(self.frames)]
+            self.i += 1
+            return f
+
+        def release(self):
+            pass
+
+    detector = FaceDetector()
+    engine = RecognitionEngine(detector=detector)
+    # enroll a handful of identities so the worker takes the fused path
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        imgs, _, _, _ = synthetic_face_batch(rng, 1, 160, p_face=1.0)
+        engine.add_to_db(f"id{i}", [imgs[0].astype(np.uint8)])
+
+    source = RingFrameSource(height=args.height, width=args.width)
+    rec = RealtimeRecognizer(engine, detector=detector, source=source)
+
+    # count recognize dispatches during the timed window
+    n_rec = [0]
+    orig = engine.fused_recognize_frames
+
+    def counted(*a, **kw):
+        n_rec[0] += 1
+        return orig(*a, **kw)
+
+    engine.fused_recognize_frames = counted
+
+    gen = rec.frames()
+    # warm: first frames trigger the fused compile in the worker; pull
+    # until a real result lands so the timed window measures steady state
+    next(gen)
+    t_wait = time.time()
+    while rec.result.get("bbox") is None and time.time() - t_wait < 900:
+        next(gen)
+        time.sleep(0.01)
+    n0 = n_rec[0]
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        next(gen)
+    wall = time.perf_counter() - t0
+    rec.stop()
+    fps = args.frames / wall
+    print(
+        json.dumps(
+            {
+                "metric": "mjpeg_stream_fps",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "frame": [args.height, args.width],
+                "frames": args.frames,
+                "recognitions_per_s": round((n_rec[0] - n0) / wall, 1),
+                "reference_fps_effective": 2.0,
+            }
+        ),
+        flush=True,
     )
 
 
