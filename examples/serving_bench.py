@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--max-queue", type=int, default=1024,
                     help="MicroBatcher pending cap; small values provoke "
                     "429 load shedding under the client burst")
+    ap.add_argument("--images-per-request", type=int, default=1,
+                    help=">1 posts a multipart body with N images per "
+                    "request (the multi-image /recognize serving body) — "
+                    "amortizes per-request host cost; throughput_rps "
+                    "counts bodies/s, throughput_imgs_s counts images/s")
     args = ap.parse_args()
 
     from facerecognition_tpu.utils.compile_cache import enable_compile_cache
@@ -75,15 +80,39 @@ def main():
 
     from facerecognition_tpu.training.synthetic_faces import scene_batch
 
-    frames, _, _, _ = scene_batch(rng, 1, args.frame, max_faces=1, p_face=1.0)
-    buf = io.BytesIO()
-    Image.fromarray(frames[0].astype(np.uint8)).save(buf, format="JPEG", quality=90)
-    payload = buf.getvalue()
+    n_per = max(1, args.images_per_request)
+    frames, _, _, _ = scene_batch(
+        rng, n_per, args.frame, max_faces=1, p_face=1.0
+    )
+    jpegs = []
+    for i in range(n_per):
+        buf = io.BytesIO()
+        Image.fromarray(frames[i].astype(np.uint8)).save(
+            buf, format="JPEG", quality=90
+        )
+        jpegs.append(buf.getvalue())
+
+    if n_per == 1:
+        payload, headers = jpegs[0], {"Content-Type": "image/jpeg"}
+    else:
+        # multipart body with N distinct JPEG parts (multi-image serving)
+        boundary = "servingbenchboundary"
+        parts = []
+        for i, j in enumerate(jpegs):
+            parts.append(
+                (
+                    f"--{boundary}\r\nContent-Disposition: form-data; "
+                    f'name="file"; filename="f{i}.jpg"\r\n'
+                    "Content-Type: image/jpeg\r\n\r\n"
+                ).encode() + j + b"\r\n"
+            )
+        payload = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        headers = {
+            "Content-Type": f"multipart/form-data; boundary={boundary}"
+        }
 
     def post():
-        req = urllib.request.Request(
-            url, data=payload, headers={"Content-Type": "image/jpeg"}
-        )
+        req = urllib.request.Request(url, data=payload, headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=1800) as r:
                 return json.loads(r.read())
@@ -102,14 +131,16 @@ def main():
 
     def warm_client(i):
         # Warmup only needs the bucket graphs compiled — with a small
-        # --max-queue the burst legitimately sheds (429); back off and
-        # retry until this client's request lands.
+        # --max-queue the burst legitimately sheds (429), and a cold
+        # large-bucket fused compile can outlive the batcher's request
+        # timeout (503). Back off and retry either until this client's
+        # request lands (the compile finishes server-side and is cached).
         while True:
             try:
                 warm_results[i] = post()
                 return
             except urllib.error.HTTPError as e:
-                if e.code != 429:
+                if e.code not in (429, 503):
                     raise
                 time.sleep(0.5)
 
@@ -122,10 +153,14 @@ def main():
     for t in threads:
         t.join()
     assert all(r is not None for r in warm_results), "warmup request failed"
-    base = max(warm_results, key=lambda r: r["batching"]["requests"])[
-        "batching"
-    ]
-    print(f"warmup ok: identity={warm_results[0]['identity']!r}", flush=True)
+    first = warm_results[0]
+    first_res = first["results"][0] if "results" in first else first
+    print(f"warmup ok: identity={first_res['identity']!r}", flush=True)
+    # Clean pre-run counter baseline (requests/batches/dispatch_s deltas).
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{args.port}/stats", timeout=60
+    ) as r:
+        base = json.loads(r.read())["models"]["arcface"]["batching"]
 
     latencies = []
     failures = [0]
@@ -145,7 +180,12 @@ def main():
             was_shed = False
             try:
                 res = post()
-                ok = res.get("status") == "success"
+                if "results" in res:
+                    ok = all(
+                        r.get("status") == "success" for r in res["results"]
+                    )
+                else:
+                    ok = res.get("status") == "success"
             except urllib.error.HTTPError as e:
                 ok = False
                 was_shed = e.code == 429
@@ -183,21 +223,31 @@ def main():
         raise SystemExit(f"all {n_total} requests failed")
     # Coalescing over the timed run only (counter deltas vs the warm burst;
     # the final in-run response carries the freshest counters).
-    d_req = last_stats[0]["requests"] - base["requests"]
-    d_bat = last_stats[0]["batches"] - base["batches"]
+    stats_end = server_stats if server_stats else last_stats[0]
+    d_req = stats_end["requests"] - base["requests"]
+    d_bat = stats_end["batches"] - base["batches"]
+    # device duty cycle over the timed window: fraction of wall the
+    # dispatcher thread spent inside fused device dispatches — <1 means the
+    # host (decode/parse/respond) is the bottleneck, ~1 means the device is
+    duty = None
+    if "dispatch_s" in stats_end and "dispatch_s" in base:
+        duty = round((stats_end["dispatch_s"] - base["dispatch_s"]) / wall, 3)
     lat = np.sort(np.asarray(latencies)) * 1000
     print(
         json.dumps(
             {
                 "requests": n_total,
+                "images_per_request": n_per,
                 "failed": failures[0],
                 "shed_429": shed[0],
                 "clients": args.clients,
                 "throughput_rps": round(len(latencies) / wall, 1),
+                "throughput_imgs_s": round(len(latencies) * n_per / wall, 1),
                 "p50_ms": round(float(lat[len(lat) // 2]), 1),
                 "p99_ms": round(float(lat[min(int(len(lat) * 0.99), len(lat) - 1)]), 1),
                 "mean_batch": round(d_req / d_bat, 2) if d_bat else None,
                 "batches": d_bat,
+                "device_duty_cycle": duty,
                 "frame": args.frame,
                 "server": server_stats,
             }

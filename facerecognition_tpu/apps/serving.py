@@ -97,6 +97,10 @@ class MicroBatcher:
         self._n_batches = 0
         self._n_padded = 0
         self._n_rejected = 0
+        # cumulative seconds inside fused dispatches: lets a load test
+        # compute the device duty cycle (Δdispatch_s / Δwall) and prove
+        # whether the device or the host is the bottleneck
+        self._dispatch_s = 0.0
         # completed-request latencies (s), newest-N window for percentiles
         self._latencies: deque[float] = deque(maxlen=4096)
         self._closed = False
@@ -122,6 +126,58 @@ class MicroBatcher:
         host→device transfer in host RSS, so a long-running server must
         stream the smallest representation).
         """
+        return self.submit_many([frame], timeout=timeout)[0]
+
+    def submit_many(
+        self, frames, timeout: Optional[float] = None
+    ) -> list[dict]:
+        """Recognize N frames from ONE caller; blocks until all return.
+
+        The multi-image serving primitive: a client that ships N frames in
+        one HTTP request amortizes per-request host cost (socket accept,
+        header/multipart parse, response encode) over N recognitions, and
+        the N items enter the pending queue atomically so they coalesce
+        into as few fused dispatches as the bucket sizes allow. Admission
+        is all-or-nothing: if the queue cannot take all N, the whole call
+        sheds with ``OverloadedError`` (no partially-admitted requests).
+        """
+        prepared = [self._prepare(f) for f in frames]
+        if not prepared:
+            return []
+        items = [_Item(f) for f in prepared]
+        t_submit = time.monotonic()
+        # Enqueue under the lifecycle lock: a submit that slipped past a
+        # concurrent close() would otherwise wait out its full timeout on a
+        # queue no dispatcher reads.
+        with self._lifecycle_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            # qsize() is exact under CPython's queue lock; the check and
+            # put are serialized by the lifecycle lock, so the bound holds.
+            if self._queue.qsize() + len(items) > self._max_queue:
+                with self._stats_lock:
+                    self._n_rejected += len(items)
+                raise OverloadedError(
+                    f"pending queue at capacity ({self._max_queue})"
+                )
+            for item in items:
+                self._queue.put(item)
+        deadline = t_submit + (
+            self._request_timeout if timeout is None else timeout
+        )
+        for item in items:
+            if not item.event.wait(max(0.0, deadline - time.monotonic())):
+                raise TimeoutError("recognition batch not ready in time")
+        with self._stats_lock:
+            # one latency sample per frame: percentile math stays per-item
+            dt = time.monotonic() - t_submit
+            self._latencies.extend([dt] * len(items))
+        for item in items:
+            if item.error is not None:
+                raise item.error
+        return [item.result for item in items]
+
+    def _prepare(self, frame: np.ndarray) -> np.ndarray:
         frame = np.asarray(frame)
         if frame.ndim != 3 or frame.shape[2] != 3:
             raise ValueError(f"expected (H, W, 3) frame, got {frame.shape}")
@@ -135,32 +191,7 @@ class MicroBatcher:
                 (self._frame_size[1], self._frame_size[0]),
                 interpolation=cv2.INTER_LINEAR,
             )
-        item = _Item(frame)
-        t_submit = time.monotonic()
-        # Enqueue under the lifecycle lock: a submit that slipped past a
-        # concurrent close() would otherwise wait out its full timeout on a
-        # queue no dispatcher reads.
-        with self._lifecycle_lock:
-            if self._closed:
-                raise RuntimeError("MicroBatcher is closed")
-            # qsize() is exact under CPython's queue lock; the check and
-            # put are serialized by the lifecycle lock, so the bound holds.
-            if self._queue.qsize() >= self._max_queue:
-                with self._stats_lock:
-                    self._n_rejected += 1
-                raise OverloadedError(
-                    f"pending queue at capacity ({self._max_queue})"
-                )
-            self._queue.put(item)
-        if not item.event.wait(
-            self._request_timeout if timeout is None else timeout
-        ):
-            raise TimeoutError("recognition batch not ready in time")
-        with self._stats_lock:
-            self._latencies.append(time.monotonic() - t_submit)
-        if item.error is not None:
-            raise item.error
-        return item.result
+        return frame
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -174,6 +205,7 @@ class MicroBatcher:
                 "rejected": self._n_rejected,
                 "queue_depth": self._queue.qsize(),
                 "max_queue": self._max_queue,
+                "dispatch_s": round(self._dispatch_s, 3),
             }
         if lat:
             # nearest-rank percentiles over the newest-4096 window
@@ -229,6 +261,7 @@ class MicroBatcher:
             frames = np.zeros((bucket, *self._frame_size, 3), np.uint8)
             for i, it in enumerate(items):
                 frames[i] = it.frame
+            t_disp = time.monotonic()
             try:
                 results = self._engine.fused_recognize_frames(
                     frames, k=self._k, max_faces=self._max_faces
@@ -243,5 +276,6 @@ class MicroBatcher:
                     self._n_requests += n
                     self._n_batches += 1
                     self._n_padded += bucket - n
+                    self._dispatch_s += time.monotonic() - t_disp
                 for it in items:
                     it.event.set()

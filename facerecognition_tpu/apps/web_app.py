@@ -835,7 +835,8 @@ def create_app(
             # embed→match dispatch (apps/serving.MicroBatcher) — the
             # production serving path; the HTML routes above stay
             # request-at-a-time like the reference. Body: raw image bytes,
-            # or multipart field 'file'/'image'. Query: ?model=arcface.
+            # or multipart with one or MORE 'file'/'image' parts (N frames
+            # per request → {'results': [...]}). Query: ?model=arcface.
             from urllib.parse import parse_qs
 
             q = parse_qs(environ.get("QUERY_STRING", ""))
@@ -848,17 +849,23 @@ def create_app(
                 )
             ctype = environ.get("CONTENT_TYPE", "")
             if ctype.startswith("multipart/"):
+                # EVERY 'file'/'image' part is an image: one request may
+                # carry N frames, amortizing per-request host cost (accept,
+                # parse, respond) over N recognitions — the batch serving
+                # body (reference batch page web_app.py:827-892 is
+                # HTML-only; its JSON API is single-image-per-request).
                 fields = _parse_multipart(environ)
-                files = [
-                    f
+                bodies = [
+                    f["data"]
                     for f in fields.get("file", []) + fields.get("image", [])
                     if isinstance(f, dict)
                 ]
-                data = files[0]["data"] if files else b""
             else:
-                data = environ["wsgi.input"].read(_content_length(environ))
-            image = _decode_image(data)
-            if image is None:
+                bodies = [
+                    environ["wsgi.input"].read(_content_length(environ))
+                ]
+            images = [_decode_image(d) for d in bodies]
+            if not images or any(im is None for im in images):
                 return respond_json(
                     start_response,
                     {"error": "no decodable image in request body"},
@@ -877,7 +884,7 @@ def create_app(
             from facerecognition_tpu.apps.serving import OverloadedError
 
             try:
-                res = batcher.submit(image)
+                many = batcher.submit_many(images)
             except OverloadedError as exc:
                 # bounded-queue load shedding: tell the client to back off
                 return respond_json(
@@ -897,11 +904,19 @@ def create_app(
                     {"error": f"recognition failed: {exc}"},
                     status="500 Internal Server Error",
                 )
-            payload = {k: v for k, v in res.items() if k != "embedding"}
-            payload["faces"] = [
-                {k: v for k, v in f.items() if k != "embedding"}
-                for f in res.get("faces", [])
-            ]
+            def strip(res: dict) -> dict:
+                out = {k: v for k, v in res.items() if k != "embedding"}
+                out["faces"] = [
+                    {k: v for k, v in f.items() if k != "embedding"}
+                    for f in res.get("faces", [])
+                ]
+                return out
+
+            if len(many) == 1:
+                payload = strip(many[0])  # single-image shape, unchanged
+            else:
+                payload = {"results": [strip(r) for r in many],
+                           "count": len(many)}
             payload["model"] = model
             payload["batching"] = batcher.stats()
             return respond_json(start_response, payload)

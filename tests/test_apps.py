@@ -961,6 +961,51 @@ class TestMicroBatcher:
             lat = s["latency_ms"]
             assert 0 <= lat["p50"] <= lat["p90"] <= lat["p99"]
             assert lat["mean"] > 0
+            # dispatch duty-cycle counter: monotone seconds inside dispatches
+            assert s["dispatch_s"] >= 0.0
+        finally:
+            mb.close()
+
+    def test_submit_many_ordered_and_counted(self):
+        from facerecognition_tpu.apps.serving import MicroBatcher
+
+        eng = FakeFusedEngine()
+        mb = MicroBatcher(eng, frame_size=(8, 8), max_delay_ms=1.0)
+        try:
+            results = mb.submit_many(self._frames(5))
+            assert [r["identity"] for r in results] == [
+                f"id{i}" for i in range(5)
+            ]
+            s = mb.stats()
+            assert s["requests"] == 5
+            assert len(mb.submit_many([])) == 0
+        finally:
+            mb.close()
+
+    def test_submit_many_sheds_all_or_nothing(self):
+        import threading as th
+
+        from facerecognition_tpu.apps.serving import (
+            MicroBatcher,
+            OverloadedError,
+        )
+
+        # Dispatcher busy 0.8s; queue capacity 3. A 4-frame submit_many
+        # must shed atomically (no partial admission), counting 4 rejects.
+        eng = FakeFusedEngine(delay=0.8)
+        mb = MicroBatcher(
+            eng, frame_size=(8, 8), max_delay_ms=1.0, max_queue=3
+        )
+        try:
+            t0 = th.Thread(target=lambda: mb.submit(self._frames(1)[0]))
+            t0.start()
+            time.sleep(0.3)  # dispatcher now mid-batch
+            with pytest.raises(OverloadedError):
+                mb.submit_many(self._frames(4))
+            assert mb.stats()["rejected"] == 4
+            # a fitting multi-submit still goes through afterwards
+            t0.join(timeout=30)
+            assert len(mb.submit_many(self._frames(3))) == 3
         finally:
             mb.close()
 
@@ -1002,6 +1047,46 @@ class TestRecognizeRoute:
         )
         assert status == "200 OK"
         assert payload["status"] == "success"
+
+    def test_recognize_route_multi_image(self):
+        """N multipart image parts → one request, N ordered results."""
+        from PIL import Image
+
+        app, eng = self._app_with_fused()
+
+        def const_png(v):
+            buf = io.BytesIO()
+            Image.fromarray(np.full((16, 16, 3), v, np.uint8)).save(
+                buf, format="PNG"
+            )
+            return buf.getvalue()
+
+        status, payload = Client(app).post_multipart(
+            "/recognize",
+            [("file", (f"f{v}.png", const_png(v))) for v in (3, 7, 11)],
+        )
+        assert status == "200 OK", payload
+        assert payload["count"] == 3
+        assert [r["identity"] for r in payload["results"]] == [
+            "id3", "id7", "id11"
+        ]
+        assert all(r["status"] == "success" for r in payload["results"])
+        assert all(
+            "embedding" not in f
+            for r in payload["results"]
+            for f in r["faces"]
+        )
+        assert payload["batching"]["requests"] >= 3
+
+    def test_recognize_route_multi_image_one_bad_400(self, rng):
+        """Any undecodable part fails the whole request (atomic body)."""
+        app, eng = self._app_with_fused()
+        _, png = png_bytes(rng, size=16)
+        status, payload = Client(app).post_multipart(
+            "/recognize",
+            [("file", ("a.png", png)), ("file", ("b.png", b"junk"))],
+        )
+        assert status.startswith("400"), payload
 
     def test_recognize_route_bad_body_400(self):
         app, eng = self._app_with_fused()
