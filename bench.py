@@ -85,7 +85,9 @@ def load_detector(det_size):
     return net, variables, None
 
 
-def build_pipeline(max_faces: int = 1):
+def build_pipeline(
+    max_faces: int = 1, unroll: int = 1, ablate: str = "", warp_mode=True
+):
     import jax
     import jax.numpy as jnp
 
@@ -120,9 +122,23 @@ def build_pipeline(max_faces: int = 1):
     def one_batch(frames, gallery):
         # --- detect: resize → BlazeFace forward → decode + NMS ------------
         bsz, h = frames.shape[0], frames.shape[1]
-        small = bilinear_resize_mxu_batch(frames, DET_SIZE, DET_SIZE, True)
-        raw = det_net.apply(det_vars, small / 127.5 - 1.0)
-        if max_faces == 1:
+        if ablate == "detect":
+            # Marginal-cost ablation: skip resize+forward+decode, feed the
+            # ArcFace template as fixed landmarks (scaled to frame coords).
+            from facerecognition_tpu.ops.umeyama import ARCFACE_TEMPLATE
+
+            lm = jnp.broadcast_to(
+                jnp.asarray(ARCFACE_TEMPLATE) * (h / 112.0), (bsz, 5, 2)
+            )
+            det_scores = jnp.ones((bsz,), jnp.float32)
+        else:
+            small = bilinear_resize_mxu_batch(
+                frames, DET_SIZE, DET_SIZE, True
+            )
+            raw = det_net.apply(det_vars, small / 127.5 - 1.0)
+        if ablate == "detect":
+            pass
+        elif max_faces == 1:
             # One face per frame: argmax decode — identical to greedy NMS's
             # first pick but without the all-anchor top-k (detector_net.
             # detect_best_face; parity test in tests/test_detector.py).
@@ -140,19 +156,25 @@ def build_pipeline(max_faces: int = 1):
             )  # lms (B, M, 5, 2), det_scores (B, M)
             lm = jnp.clip(lms * (h / DET_SIZE), 0.0, h - 1.0)  # (B, M, 5, 2)
         # --- align → embed → match ----------------------------------------
-        if max_faces == 1:
-            aligned = align_crop_mxu_batch(frames, lm, 112, True)
+        if ablate == "warp":
+            # Marginal-cost ablation: shared-weight center resize instead of
+            # the per-face affine warp (same shapes into the embedder).
+            aligned = bilinear_resize_mxu_batch(frames, 112, 112, True)
+            if max_faces > 1:
+                aligned = jnp.repeat(aligned, max_faces, axis=0)
+        elif max_faces == 1:
+            aligned = align_crop_mxu_batch(frames, lm, 112, warp_mode)
         elif h > 160:
             # Static-window crop per slot, then warp: kills the M-fold frame
             # repeat and shrinks the warp-weight working set (H·W)/160² —
             # same path the fused serving graph takes (engine._build_fused).
-            aligned = align_crop_mxu_window(frames, lm, 112, 160, True)
+            aligned = align_crop_mxu_window(frames, lm, 112, 160, warp_mode)
         else:
             aligned = align_crop_mxu_batch(
                 jnp.repeat(frames, max_faces, axis=0),
                 lm.reshape(bsz * max_faces, 5, 2),
                 112,
-                True,
+                warp_mode,
             )
         x = normalize_imagenet_style(aligned)
         emb = model.apply(variables, x)
@@ -162,7 +184,12 @@ def build_pipeline(max_faces: int = 1):
         # normalized=True: gallery rows are unit-norm (as in real serving,
         # where Gallery normalizes at enrollment) — skips an (N, D) pass
         # that XLA does not hoist out of the scan.
-        scores, idx = auto_cosine_topk(emb, gallery, 5, normalized=True)
+        if ablate == "match":
+            # Marginal-cost ablation: no gallery search; keep emb live.
+            scores = emb[:, :5]
+            idx = jnp.zeros((emb.shape[0], 5), jnp.int32)
+        else:
+            scores, idx = auto_cosine_topk(emb, gallery, 5, normalized=True)
         return scores, idx, det_scores
 
     def repeated(frames_stack, gallery):
@@ -176,7 +203,9 @@ def build_pipeline(max_faces: int = 1):
             )
             return carry, ()
 
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), frames_stack)
+        carry, _ = jax.lax.scan(
+            body, jnp.float32(0.0), frames_stack, unroll=unroll
+        )
         return carry
 
     return jax.jit(repeated)
@@ -204,6 +233,20 @@ def main():
     ap.add_argument("--frame", type=int, default=0,
                     help="frame edge in px (default 160, or 256 for "
                     "multi-face crowd scenes)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="lax.scan unroll factor for the timed loop "
+                    "(ablates per-iteration scan overhead)")
+    ap.add_argument("--warp", default="bf16", choices=["bf16", "int8", "f32"],
+                    help="align-warp einsum precision. bf16 is the measured "
+                    "winner on this backend; int8 (≤2 intensity-level "
+                    "error) measured 1.5x SLOWER end-to-end — the batched "
+                    "int8 einsum does not hit the MXU int8 fast path the "
+                    "plain 2-D gallery matmul enjoys (ops/warp_mxu.py)")
+    ap.add_argument("--ablate", default="",
+                    choices=["", "detect", "warp", "match"],
+                    help="knock one stage out of the fused graph to measure "
+                    "its true marginal cost (diagnostic; value is NOT a "
+                    "pipeline throughput)")
     args = ap.parse_args()
 
     BATCH = args.batch
@@ -213,7 +256,8 @@ def main():
     FRAME = args.frame or (160 if M == 1 else 256)
     rng = np.random.default_rng(0)
 
-    fn = build_pipeline(M)
+    warp_mode = {"int8": "int8", "bf16": True, "f32": False}[args.warp]
+    fn = build_pipeline(M, args.unroll, args.ablate, warp_mode)
     n_gt_faces = BATCH  # ground-truth faces per batch
     if args.noise:
         frames = rng.integers(0, 256, (BATCH, FRAME, FRAME, 3)).astype(
@@ -305,6 +349,7 @@ def main():
                 "frame": FRAME,
                 "trained_weights": have_detector
                 and os.path.exists(EMBEDDER_WEIGHTS),
+                **({"ablate": args.ablate} if args.ablate else {}),
                 **extra,
                 **(
                     {"mean_det_score": round(mean_det, 3)}

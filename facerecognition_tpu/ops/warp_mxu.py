@@ -60,7 +60,7 @@ def affine_warp_mxu_batch(
     out_h: int,
     out_w: int,
     chunk: int = 16,
-    fast: bool = False,
+    fast: bool | str = False,
 ) -> jax.Array:
     """Batched affine warp via two matmul passes.
 
@@ -71,11 +71,22 @@ def affine_warp_mxu_batch(
       out_h, out_w: output size.
       chunk: images per lax.map step (bounds the (chunk, W, out_h, H)
         weight-tensor working set; 16 → ~183 MB f32 / ~92 MB on the fast=True bf16 path for 160² sources).
-      fast: run the einsums with bf16 operands (f32 accumulation). uint8
-        pixel values are exactly representable in bf16; only the
-        interpolation weights quantize (2^-8 relative ≈ 0.4% → ≤1 intensity
-        level), halving the dominant weight-tensor HBM traffic. Use for the
-        serving hot path; keep False where golden pixel parity matters.
+      fast: precision of the einsum operands. False = f32 HIGHEST (golden
+        pixel parity). True = bf16 operands, f32 accumulation: uint8 pixel
+        values are exactly representable in bf16; only the interpolation
+        weights quantize (2^-8 relative ≈ 0.4% → ≤1 intensity level),
+        halving the dominant weight-tensor HBM traffic. "int8" = int8
+        operands, int32 accumulation: weights quantize to 1/127 steps
+        (≈0.4%, same magnitude as bf16) and the inter-pass image requantizes
+        once (≤0.5 level), for ≤2 intensity levels total. MEASURED SLOWER
+        on the current backend (15.8k vs 24.2k faces/s end-to-end,
+        round 5): the batched 4-D int8 einsum does not reach the MXU int8
+        fast path that the plain 2-D gallery matmul
+        (ops.matcher.cosine_topk_int8) enjoys — kept as an exactness-
+        characterized mode for backends where it does; bf16 (True) is the
+        serving hot-path choice. Pixel requirement for "int8" is
+        integer-valued uint8 content (exact for every decoded image;
+        arbitrary float sources round to the nearest level).
 
     Returns:
       (B, out_h, out_w, C) float32.
@@ -107,6 +118,51 @@ def affine_warp_mxu_batch(
         wy = _interp_weights(
             ypos.transpose(0, 2, 1), h
         )  # (k, W, out_h, H)
+        # Pass 2 sampling positions x_s(i, j) (k, out_h, out_w).
+        xpos = (
+            m00[:, None, None] * jj[None]
+            + m01[:, None, None] * ii[None]
+            + m02[:, None, None]
+        )
+        wx = _interp_weights(xpos, w)  # (k, out_h, out_w, W)
+
+        if fast == "int8":
+            # Integer path: weights at 1/127 steps, pixels centered into
+            # int8 ([0,255] − 128). acc = Σ wq·(p − 128) (int32) recovers
+            # 127·Σ w·p as acc + 128·Σ wq; /127 restores pixel scale. The
+            # mid image re-centers (round → ≤0.5 level) so pass 2 runs
+            # int8 too.
+            wyq = jnp.round(wy * 127.0).astype(jnp.int8)
+            wxq = jnp.round(wx * 127.0).astype(jnp.int8)
+            pc = (
+                jnp.clip(jnp.round(imgs), 0.0, 255.0) - 128.0
+            ).astype(jnp.int8)
+            acc = jnp.einsum(
+                "kxiy,kyxc->kxic",
+                wyq,
+                pc,
+                preferred_element_type=jnp.int32,
+            )
+            rs1 = jnp.sum(wyq.astype(jnp.int32), axis=-1)  # (k, W, out_h)
+            mid127 = acc + 128 * rs1[..., None]  # 127 × true mid pixel
+            midc = (
+                jnp.clip(
+                    jnp.round(mid127.astype(jnp.float32) / 127.0),
+                    0.0,
+                    255.0,
+                )
+                - 128.0
+            ).astype(jnp.int8)  # (k, W, out_h, C)
+            acc2 = jnp.einsum(
+                "kijx,kxic->kijc",
+                wxq,
+                midc,
+                preferred_element_type=jnp.int32,
+            )
+            rs2 = jnp.sum(wxq.astype(jnp.int32), axis=-1)  # (k, out_h, out_w)
+            out = (acc2 + 128 * rs2[..., None]).astype(jnp.float32) / 127.0
+            return out
+
         ein_dtype = jnp.bfloat16 if fast else jnp.float32
         ein_kw = (
             dict(preferred_element_type=jnp.float32)
@@ -121,13 +177,6 @@ def affine_warp_mxu_batch(
             **ein_kw,
         )  # (k, W, out_h, C)
 
-        # Pass 2: horizontal resample at x_s(i, j).
-        xpos = (
-            m00[:, None, None] * jj[None]
-            + m01[:, None, None] * ii[None]
-            + m02[:, None, None]
-        )  # (k, out_h, out_w)
-        wx = _interp_weights(xpos, w)  # (k, out_h, out_w, W)
         out = jnp.einsum(
             "kijx,kxic->kijc",
             wx.astype(ein_dtype),

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--gallery", type=int, default=10_000)
     ap.add_argument("--det-size", type=int, default=128)
+    ap.add_argument(
+        "--extra",
+        action="store_true",
+        help="also time diagnostic sub-stages + candidate match kernels",
+    )
     args = ap.parse_args()
 
     import jax
@@ -59,7 +64,15 @@ def main():
     frames_np, _, _, _ = scene_batch(rng, B, 160, max_faces=1, p_face=1.0)
     frames = jnp.asarray(frames_np.astype(np.float32))
 
-    emb_w = os.path.join(_ASSETS, "arcface_synthid_512.msgpack")
+    # Serving-default embedder (slim-9k preferred) — same resolver chain as
+    # bench.py / serving, so the profile measures the pipeline that ships.
+    from facerecognition_tpu.inference.extract_embeddings import (
+        default_arcface_checkpoint,
+    )
+
+    emb_w = default_arcface_checkpoint() or os.path.join(
+        _ASSETS, "arcface_synthid_512.msgpack"
+    )
     if os.path.exists(emb_w):
         # Arch marker honored (slim checkpoints profile as-is).
         from facerecognition_tpu.inference.extract_embeddings import (
@@ -148,8 +161,51 @@ def main():
         aligned,
     )
     stages["match_topk"] = timed(
-        "match", lambda e: cosine_topk(e, gallery, 5), emb
+        # normalized=True: serving galleries store unit rows (bench.py) —
+        # skips the per-call gallery normalize the round-3 table included.
+        "match", lambda e: cosine_topk(e, gallery, 5, True), emb
     )
+    if args.extra:
+        # Diagnostic sub-stages / candidate kernels (not pipeline stages).
+        stages["x_match_matmul_only"] = timed(
+            "mm",
+            lambda e: jnp.dot(
+                e, gallery.T, preferred_element_type=jnp.float32
+            ),
+            emb,
+        )
+        scores0 = jnp.dot(emb, gallery.T, preferred_element_type=jnp.float32)
+        stages["x_topk_lax"] = timed(
+            "tk", lambda s: jax.lax.top_k(s, 5), scores0
+        )
+
+        def topk_blocked(s, k=5, block=1024):
+            b, n = s.shape
+            pad = (-n) % block
+            if pad:
+                s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            nb = s.shape[1] // block
+            sv, si = jax.lax.top_k(s.reshape(b, nb, block), k)
+            cand = sv.reshape(b, nb * k)
+            cidx = (
+                si + (jnp.arange(nb) * block)[None, :, None]
+            ).reshape(b, nb * k)
+            v2, i2 = jax.lax.top_k(cand, k)
+            return v2, jnp.take_along_axis(cidx, i2, axis=1)
+
+        stages["x_topk_blocked"] = timed(
+            "tkb", lambda s: topk_blocked(s), scores0
+        )
+        stages["x_topk_approx"] = timed(
+            "tka",
+            lambda s: jax.lax.approx_max_k(s, 5, recall_target=0.99),
+            scores0,
+        )
+        stages["x_resize_f32"] = timed(
+            "rsz32",
+            lambda f: bilinear_resize_mxu_batch(f, DET, DET, False),
+            frames,
+        )
 
     total = sum(stages.values())
     print(f"\nPer-stage (B={B}, det={DET}², best-of-3, ms/batch):")
