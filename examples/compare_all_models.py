@@ -24,12 +24,34 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data-dir", required=True)
-    parser.add_argument("--arcface-ckpt", default=None)
-    parser.add_argument("--facenet-ckpt", default=None)
+    parser.add_argument(
+        "--arcface-ckpt",
+        default=None,
+        help="defaults to the shipped serving checkpoint "
+        "(default_arcface_checkpoint) — NOT random init",
+    )
+    parser.add_argument(
+        "--facenet-ckpt",
+        default=None,
+        help="defaults to the shipped serving checkpoint "
+        "(default_facenet_checkpoint) — NOT random init",
+    )
     parser.add_argument("--lbph-model", default=None)
     parser.add_argument("--output", default="comparison.json")
     parser.add_argument("--max-images", type=int, default=500)
     args = parser.parse_args(argv)
+
+    # RecognitionEngine's checkpoint_path=None contract is random init
+    # (testing); a comparison must run the SHIPPED weights, so resolve the
+    # serving defaults here (round-5 fix: an unset --facenet-ckpt silently
+    # compared a random-init FaceNet at 45% top-1).
+    from facerecognition_tpu.inference import (
+        default_arcface_checkpoint,
+        default_facenet_checkpoint,
+    )
+
+    args.arcface_ckpt = args.arcface_ckpt or default_arcface_checkpoint()
+    args.facenet_ckpt = args.facenet_ckpt or default_facenet_checkpoint()
 
     import jax.numpy as jnp
 

@@ -338,6 +338,12 @@ class RecognitionEngine:
     ``use_face_detection=False`` mode, recognition_engine.py:84); pass a
     `facerecognition_tpu.preprocessing.FaceDetector` to enable the fused
     detect→align path.
+
+    ``checkpoint_path=None`` builds a RANDOM-INIT embedder (the loaders'
+    testing contract) — to serve the shipped weights, pass
+    ``default_arcface_checkpoint()`` / ``default_facenet_checkpoint()``
+    (the web app does; examples/compare_all_models.py resolves them when
+    its flags are unset).
     """
 
     def __init__(

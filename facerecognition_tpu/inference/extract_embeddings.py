@@ -148,18 +148,30 @@ def load_arcface_checkpoint(
 def default_arcface_checkpoint() -> Optional[str]:
     """Best shipped ArcFace serving checkpoint, or None.
 
-    Preference order = measured quality THEN speed on the synthid-9k eval:
-    the slim (2,2,2,2) 9k checkpoint (top-1 99.98%, 41k img/s embed-only,
-    docs/SYNTHID9K_SLIM_EVAL.json) over the (3,4,6,3) 9k checkpoint
-    (99.95%, 29k img/s) over the legacy 500-id checkpoint. bench.py and
-    the web app resolve their default embedder through here so the whole
-    stack ships the same weights.
+    Preference order on the synthid-9k eval (docs/SYNTHID9K_*_EVAL.json,
+    round-5 A/B):
+
+    | backbone | 9k top-1 | open-set 120-id | end-to-end faces/s |
+    |---|---|---|---|
+    | ultraslim (1,1,1,1) | 99.968% | 100.0% | 28,988 |
+    | slim (2,2,2,2) | 99.982% | 100.0% | 24,159 |
+    | (3,4,6,3) | 99.95% | — | ~20,000 |
+
+    The ultraslim checkpoint ships as the serving default: it ties slim
+    on the open-set test, sits ABOVE the reference-depth (3,4,6,3)
+    backbone on the closed-set eval (99.968 vs 99.95), and is 20% faster
+    end-to-end; the 0.014pp closed-set delta vs slim (~1 query in 7,000
+    at 9,343 ids) buys the speed. Pin the slim checkpoint explicitly
+    where that delta matters. bench.py and the web app resolve their
+    default embedder through here so the whole stack ships the same
+    weights.
     """
     assets = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "assets",
     )
     for name in (
+        "arcface_synthid9k_ultraslim_512.msgpack",
         "arcface_synthid9k_slim_512.msgpack",
         "arcface_synthid9k_512.msgpack",
         "arcface_synthid_512.msgpack",

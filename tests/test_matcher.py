@@ -36,6 +36,29 @@ def test_topk_matches_numpy(rng):
     )
 
 
+def test_blocked_topk_exact_vs_lax(rng):
+    """The blocked large-N reduction inside cosine_topk must equal
+    lax.top_k exactly — values AND indices, including lowest-index
+    tie-breaking and non-multiple-of-block sizes."""
+    import jax
+
+    from facerecognition_tpu.ops.matcher import _topk_lastdim
+
+    # large N (blocked path), deliberately not a multiple of 1024
+    s = rng.normal(size=(5, 9000)).astype(np.float32)
+    # plant cross-block ties: same value in blocks 0, 3, 6
+    s[:, 100] = s[:, 3 * 1024 + 7] = s[:, 6 * 1024 + 11] = 99.0
+    v, i = _topk_lastdim(jnp.asarray(s), 5)
+    rv, ri = jax.lax.top_k(jnp.asarray(s), 5)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    # small N falls through to lax.top_k
+    s2 = rng.normal(size=(3, 500)).astype(np.float32)
+    v2, i2 = _topk_lastdim(jnp.asarray(s2), 4)
+    rv2, ri2 = jax.lax.top_k(jnp.asarray(s2), 4)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ri2))
+
+
 def test_l2_normalize(rng):
     x = rng.normal(size=(4, 16)).astype(np.float32)
     n = np.asarray(l2_normalize(jnp.asarray(x)))

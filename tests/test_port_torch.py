@@ -75,6 +75,28 @@ def test_resnet26_slim_parity():
 
 
 @pytest.mark.slow
+def test_resnet_ultraslim_parity():
+    """The ultraslim (1,1,1,1) backbone (assets/
+    arcface_synthid9k_ultraslim_512.msgpack) meets the same torch parity
+    bar as the other depths."""
+    stages = (1, 1, 1, 1)
+    tmodel = TorchResNet50(stage_sizes=stages).eval()
+    _randomize_bn_stats(tmodel)
+    variables = port_state_dict(tmodel.state_dict(), resnet50_key_map)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    x = np.random.default_rng(5).normal(size=(2, 112, 112, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    model = ResNet50Backbone(stage_sizes=stages)
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert out.shape == ref.shape == (2, 2048)
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 1e-4
+
+
+@pytest.mark.slow
 def test_inception_resnet_v1_parity():
     tmodel = TorchInceptionResnetV1().eval()
     _randomize_bn_stats(tmodel)
