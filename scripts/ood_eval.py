@@ -102,7 +102,16 @@ def eval_embedder_ood(n_ids, enroll_per_id=2, probe_per_id=3, seed=7):
         render_aligned_identity_sample,
     )
 
-    ckpt = os.path.join(_REPO, "assets", "arcface_synthid9k_512.msgpack")
+    from facerecognition_tpu.inference.extract_embeddings import (
+        default_arcface_checkpoint,
+    )
+
+    # The SERVING-DEFAULT embedder (round-5 fix: this previously pinned the
+    # deep (3,4,6,3) checkpoint, so the canonical table didn't track what
+    # ships). The report records which checkpoint was measured.
+    ckpt = default_arcface_checkpoint() or os.path.join(
+        _REPO, "assets", "arcface_synthid9k_512.msgpack"
+    )
     model, variables = load_arcface_checkpoint(ckpt)
     rng = np.random.default_rng(seed)
     ids = [sample_identity_ood(rng) for _ in range(n_ids)]
@@ -143,6 +152,7 @@ def eval_embedder_ood(n_ids, enroll_per_id=2, probe_per_id=3, seed=7):
         "mean_genuine_cos": round(
             float(scores[np.arange(len(gt)), gt].mean()), 4
         ),
+        "checkpoint": os.path.basename(ckpt),
     }
 
 
